@@ -1,0 +1,190 @@
+"""Delta + varbyte posting-list codec (numpy-vectorized).
+
+Byte convention (reference: indexer4.cpp:23-35, Query-engine.hpp:43-55;
+validated bit-exact against both golden ``postings.bin`` files, SURVEY.md
+Appendix C): emit 7 bits per byte little-endian-first; set bit ``0x80``
+on the FINAL byte of each value. (The repo's standalone decoder demo uses
+the opposite convention and is ignored — quirk Q1.)
+
+Posting-list layout per term:
+``vb(n_docs)`` then per doc ``vb(docid_delta) vb(tf) vb(pos_delta)*tf``
+with docIDs ascending, first docid delta taken from 0, and per-doc
+position deltas with the first position absolute.
+
+The engine additionally computes per-block metadata
+``(last_docid, max_tf, offset, bytes)`` every ``block_size`` docs inside
+a blob — the real skip/Block-Max-WAND machinery the reference's unused
+``skip_meta`` only gestures at (README.md:233-239, quirk C4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+
+
+def vb_encode(vals: np.ndarray) -> bytes:
+    """Varbyte-encode a 1-D array of non-negative ints (vectorized)."""
+    v = np.asarray(vals, dtype=_U64)
+    if v.size == 0:
+        return b""
+    nb = (
+        np.ones(v.size, dtype=np.int64)
+        + (v >= (1 << 7))
+        + (v >= (1 << 14))
+        + (v >= (1 << 21))
+        + (v >= (1 << 28))
+    )
+    ends = np.cumsum(nb) - 1
+    starts = ends - (nb - 1)
+    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    for k in range(5):
+        mask = nb > k
+        if not mask.any():
+            break
+        out[starts[mask] + k] = (v[mask] >> _U64(7 * k)) & _U64(0x7F)
+    out[ends] |= 0x80
+    return out.tobytes()
+
+
+def vb_decode(buf: bytes | np.ndarray) -> np.ndarray:
+    """Decode a varbyte stream to a uint64 array (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else buf
+    if b.size == 0:
+        return np.zeros(0, dtype=_U64)
+    is_last = (b & 0x80) != 0
+    grp = np.zeros(b.size, dtype=np.int64)
+    grp[1:] = np.cumsum(is_last)[:-1]
+    idx = np.arange(b.size, dtype=np.int64)
+    group_starts = np.concatenate(([0], idx[is_last][:-1] + 1))
+    within = idx - group_starts[grp]
+    vals = np.zeros(int(is_last.sum()), dtype=_U64)
+    np.add.at(vals, grp, (b & 0x7F).astype(_U64) << (_U64(7) * within.astype(_U64)))
+    return vals
+
+
+def _interleave_postings(
+    docids: np.ndarray, tfs: np.ndarray, flat_pos: np.ndarray
+) -> np.ndarray:
+    """Build the flat value sequence [n, (delta, tf, pos_deltas...)*]."""
+    n = docids.size
+    docids = np.asarray(docids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    flat_pos = np.asarray(flat_pos, dtype=np.int64)
+    deltas = np.diff(docids, prepend=0)
+    pos_offsets = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    pos_deltas = np.diff(flat_pos, prepend=0)
+    pos_deltas[pos_offsets] = flat_pos[pos_offsets]  # first pos per doc absolute
+    out = np.zeros(1 + 2 * n + flat_pos.size, dtype=np.int64)
+    out[0] = n
+    doc_out = 1 + 2 * np.arange(n, dtype=np.int64) + pos_offsets
+    out[doc_out] = deltas
+    out[doc_out + 1] = tfs
+    within = np.arange(flat_pos.size, dtype=np.int64) - np.repeat(pos_offsets, tfs)
+    out[np.repeat(doc_out + 2, tfs) + within] = pos_deltas
+    return out
+
+
+def encode_postings(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    flat_positions: np.ndarray,
+    block_size: int = 128,
+) -> tuple[bytes, list[tuple[int, int, int, int]]]:
+    """Encode one posting run.
+
+    docids must be sorted ascending; ``flat_positions`` is the
+    concatenation of each doc's ascending positions (lengths = tfs).
+    Returns (blob, blocks) where blocks is a list of
+    (last_docid, max_tf, byte_offset, byte_len) per ``block_size`` docs.
+    Block boundaries fall on whole docs; each block's byte span is
+    self-delimiting given the count encoded in the blob head.
+    """
+    n = int(np.asarray(docids).size)
+    if n == 0:
+        return vb_encode(np.array([0])), []
+    flat = _interleave_postings(
+        np.asarray(docids), np.asarray(tfs), np.asarray(flat_positions)
+    )
+    blob = vb_encode(flat)
+    # compute per-value byte lengths to locate block boundaries
+    v = flat.astype(_U64)
+    nb = (
+        np.ones(v.size, dtype=np.int64)
+        + (v >= (1 << 7))
+        + (v >= (1 << 14))
+        + (v >= (1 << 21))
+        + (v >= (1 << 28))
+    )
+    byte_ends = np.cumsum(nb)
+    tfs_arr = np.asarray(tfs, dtype=np.int64)
+    pos_offsets = np.concatenate(([0], np.cumsum(tfs_arr)[:-1]))
+    doc_start_val = 1 + 2 * np.arange(n, dtype=np.int64) + pos_offsets
+    # byte offset where each doc's record starts
+    doc_byte_start = np.concatenate(([int(byte_ends[0])], byte_ends[doc_start_val[1:] - 1].astype(np.int64)))
+    docids_arr = np.asarray(docids, dtype=np.int64)
+    blocks: list[tuple[int, int, int, int]] = []
+    for s in range(0, n, block_size):
+        e = min(s + block_size, n)
+        b_start = int(doc_byte_start[s])
+        b_end = int(byte_ends[doc_start_val[e - 1] + 1 + tfs_arr[e - 1]])
+        blocks.append(
+            (
+                int(docids_arr[e - 1]),
+                int(tfs_arr[s:e].max()),
+                b_start,
+                b_end - b_start,
+            )
+        )
+    return blob, blocks
+
+
+def decode_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full decode: blob -> (docids, tfs, flat_positions)."""
+    vals = vb_decode(blob).astype(np.int64)
+    if vals.size == 0:
+        return (np.zeros(0, np.int64),) * 3
+    n = int(vals[0])
+    docids = np.zeros(n, dtype=np.int64)
+    tfs = np.zeros(n, dtype=np.int64)
+    pos_chunks = []
+    i = 1
+    last_doc = 0
+    for d in range(n):
+        last_doc += int(vals[i])
+        docids[d] = last_doc
+        tf = int(vals[i + 1])
+        tfs[d] = tf
+        pos_chunks.append(np.cumsum(vals[i + 2 : i + 2 + tf]))
+        i += 2 + tf
+    flat_pos = np.concatenate(pos_chunks) if pos_chunks else np.zeros(0, np.int64)
+    return docids, tfs, flat_pos
+
+
+def decode_docids(blob: bytes) -> np.ndarray:
+    """DocIDs-only decode (mirror of Query-engine.hpp:58-80 semantics)."""
+    docids, _tfs, _pos = decode_postings(blob)
+    return docids
+
+
+def decode_postings_fast(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decode (docids, tfs) without materializing positions per doc.
+
+    Vectorized structure walk: doc record starts satisfy
+    ``next = cur + 2 + tf[cur]`` — resolved with a python loop over docs
+    but O(n) numpy-light; positions are skipped wholesale.
+    """
+    vals = vb_decode(blob).astype(np.int64)
+    if vals.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    n = int(vals[0])
+    deltas = np.zeros(n, dtype=np.int64)
+    tfs = np.zeros(n, dtype=np.int64)
+    i = 1
+    for d in range(n):
+        deltas[d] = vals[i]
+        tf = int(vals[i + 1])
+        tfs[d] = tf
+        i += 2 + tf
+    return np.cumsum(deltas), tfs
