@@ -122,11 +122,11 @@ def analyze_agg_udf(
         )
 
     @F.pandas_udf(AGG_SCHEMA)
-    def _analyze_agg(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    def _analyze_agg(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for batch in it:
             yield pd.DataFrame(
                 [_agg_one(s) for s in batch], columns=["terms", "doc_len"]
-            ).apply(tuple, axis=1)
+            )
 
     return _analyze_agg
 

@@ -86,29 +86,32 @@ def _interleave_postings(
     return out
 
 
-def encode_postings(
+def encode_run(
     docids: np.ndarray,
     tfs: np.ndarray,
     flat_positions: np.ndarray,
     block_size: int = 128,
 ) -> tuple[bytes, list[tuple[int, int, int, int]]]:
-    """Encode one posting run.
+    """Encode one posting *run* (body only, no doc-count prefix).
 
     docids must be sorted ascending; ``flat_positions`` is the
     concatenation of each doc's ascending positions (lengths = tfs).
-    Returns (blob, blocks) where blocks is a list of
-    (last_docid, max_tf, byte_offset, byte_len) per ``block_size`` docs.
-    Block boundaries fall on whole docs; each block's byte span is
-    self-delimiting given the count encoded in the blob head.
+    The first docid delta is absolute (taken from 0), so a run is
+    standalone-decodable and runs over disjoint ascending docid ranges
+    can be merged by rewriting only each run's first varbyte group
+    (``merge_runs``) — the cheap final phase of the salted two-phase
+    skew merge (SURVEY.md §4.2.4).
+
+    Returns (body, blocks): blocks is (last_docid, max_tf, byte_offset,
+    byte_len) per ``block_size`` docs, offsets relative to body start.
     """
     n = int(np.asarray(docids).size)
     if n == 0:
-        return vb_encode(np.array([0])), []
-    flat = _interleave_postings(
-        np.asarray(docids), np.asarray(tfs), np.asarray(flat_positions)
-    )
-    blob = vb_encode(flat)
-    # compute per-value byte lengths to locate block boundaries
+        return b"", []
+    tfs_arr = np.asarray(tfs, dtype=np.int64)
+    docids_arr = np.asarray(docids, dtype=np.int64)
+    flat = _interleave_postings(docids_arr, tfs_arr, np.asarray(flat_positions))[1:]
+    body = vb_encode(flat)
     v = flat.astype(_U64)
     nb = (
         np.ones(v.size, dtype=np.int64)
@@ -118,12 +121,11 @@ def encode_postings(
         + (v >= (1 << 28))
     )
     byte_ends = np.cumsum(nb)
-    tfs_arr = np.asarray(tfs, dtype=np.int64)
     pos_offsets = np.concatenate(([0], np.cumsum(tfs_arr)[:-1]))
-    doc_start_val = 1 + 2 * np.arange(n, dtype=np.int64) + pos_offsets
-    # byte offset where each doc's record starts
-    doc_byte_start = np.concatenate(([int(byte_ends[0])], byte_ends[doc_start_val[1:] - 1].astype(np.int64)))
-    docids_arr = np.asarray(docids, dtype=np.int64)
+    doc_start_val = 2 * np.arange(n, dtype=np.int64) + pos_offsets
+    doc_byte_start = np.concatenate(
+        ([0], byte_ends[doc_start_val[1:] - 1].astype(np.int64))
+    )
     blocks: list[tuple[int, int, int, int]] = []
     for s in range(0, n, block_size):
         e = min(s + block_size, n)
@@ -137,7 +139,65 @@ def encode_postings(
                 b_end - b_start,
             )
         )
-    return blob, blocks
+    return body, blocks
+
+
+def encode_postings(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    flat_positions: np.ndarray,
+    block_size: int = 128,
+) -> tuple[bytes, list[tuple[int, int, int, int]]]:
+    """Encode a full posting list in the reference layout:
+    ``vb(n_docs)`` + run body. Block offsets include the count prefix."""
+    n = int(np.asarray(docids).size)
+    head = vb_encode(np.array([n]))
+    body, blocks = encode_run(docids, tfs, flat_positions, block_size)
+    h = len(head)
+    return head + body, [(ld, mt, off + h, nb) for (ld, mt, off, nb) in blocks]
+
+
+def _first_vb_len(body: bytes) -> int:
+    """Byte length of the first varbyte group in a body."""
+    i = 0
+    while not (body[i] & 0x80):
+        i += 1
+    return i + 1
+
+
+def merge_runs(
+    first_docids: list[int],
+    bodies: list[bytes],
+    blocks_list: list[list[tuple[int, int, int, int]]],
+    last_docids: list[int],
+    total_docs: int,
+) -> tuple[bytes, list[tuple[int, int, int, int]]]:
+    """Merge encoded runs over disjoint ascending docid ranges into one
+    reference-layout blob. Runs must be given in ascending docid order.
+    Only the first varbyte group of each non-initial run is rewritten
+    (delta from the previous run's last docid); everything else is a
+    byte concat, so merging a skewed term's S runs costs O(total bytes)
+    memcpy, not a re-encode."""
+    parts: list[bytes] = [vb_encode(np.array([total_docs]))]
+    out_blocks: list[tuple[int, int, int, int]] = []
+    acc = len(parts[0])
+    prev_last = 0
+    for i, (first, body, blocks) in enumerate(zip(first_docids, bodies, blocks_list)):
+        if not body:
+            continue
+        flen = _first_vb_len(body)
+        new_first = vb_encode(np.array([first - prev_last]))
+        parts.append(new_first)
+        parts.append(body[flen:])
+        grow = len(new_first) - flen
+        for (ld, mt, off, nb) in blocks:
+            # the run's first block absorbs the rewritten first group
+            nb2 = nb + grow if off == 0 else nb
+            off2 = off + acc if off == 0 else off + acc + grow
+            out_blocks.append((ld, mt, off2, nb2))
+        acc += len(body) + grow
+        prev_last = int(last_docids[i])
+    return b"".join(parts), out_blocks
 
 
 def decode_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

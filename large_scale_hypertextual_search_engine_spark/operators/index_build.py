@@ -1,0 +1,287 @@
+"""Index build: docs -> docid_map, doc_stats, postings, lexicon.
+
+Spark-first rebuild of the reference's three-process pipeline
+(extractor -> cleaner -> SPIMI indexer, README.md:25-41) as ONE declarative
+job with exactly two wide exchanges:
+
+  shuffle 1: range-partition by docid (dense docID minting, W2)
+  shuffle 2: repartition by (term [, salt]) (the SPIMI block + k-way
+             merge of indexer4.cpp:242-363 collapses into Spark's
+             partial/final aggregation)
+
+Everything the reference hand-rolls — external-memory blocking, k-way
+merge, offset bookkeeping — is Catalyst/Tungsten machinery here; the
+only Python kernels are the analyzer and the varbyte codec, both
+Arrow-vectorized.
+
+Skew (north rule): stopword-like terms with df ~ N are merged in two
+phases — ``groupBy(term, salt)`` partial-encode where ``salt`` is a
+*docid-range* bucket, then ``groupBy(term)`` ordered byte-concat of the
+runs (``merge_runs`` rewrites one varbyte group per run boundary).
+Salting by docid range (not random) keeps runs disjoint and pre-sorted,
+so the final merge never re-sorts or re-encodes. Per-task memory for
+the final concat is bounded by df * bytes/posting; at extreme scale set
+``max_salts_per_group`` to emit capped multi-row posting lists instead.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.varbyte import encode_run, merge_runs
+import numpy as np
+
+BLOCK_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("last_docid", LongType()),
+            StructField("max_tf", IntegerType()),
+            StructField("offset", IntegerType()),
+            StructField("bytes", IntegerType()),
+        ]
+    )
+)
+
+RUN_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("salt", IntegerType()),
+        StructField("df", LongType()),
+        StructField("tf", LongType()),
+        StructField("first_docid", LongType()),
+        StructField("last_docid", LongType()),
+        StructField("body", BinaryType()),
+        StructField("blocks", BLOCK_SCHEMA),
+    ]
+)
+
+POSTINGS_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("df", LongType()),
+        StructField("tf", LongType()),
+        StructField("postings", BinaryType()),
+        StructField("blocks", BLOCK_SCHEMA),
+    ]
+)
+
+
+def _encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """Encode one (term, salt) group into a posting run (phase 1)."""
+    pdf = pdf.sort_values("doc_int")
+    docids = pdf["doc_int"].to_numpy()
+    positions = pdf["positions"].tolist()
+    tfs = np.fromiter((len(p) for p in positions), dtype=np.int64, count=len(positions))
+    flat = np.concatenate(positions) if positions else np.zeros(0, np.int64)
+    body, blocks = encode_run(docids, tfs, flat, block_size)
+    return pd.DataFrame(
+        {
+            "term": [pdf["term"].iloc[0]],
+            "salt": [int(pdf["salt"].iloc[0])],
+            "df": [len(docids)],
+            "tf": [int(tfs.sum())],
+            "first_docid": [int(docids[0])],
+            "last_docid": [int(docids[-1])],
+            "body": [body],
+            "blocks": [blocks],
+        }
+    )
+
+
+def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge a term's runs in docid order (phase 2) — byte concat."""
+    pdf = pdf.sort_values("first_docid")
+    blob, blocks = merge_runs(
+        [int(x) for x in pdf["first_docid"]],
+        [bytes(b) for b in pdf["body"]],
+        [
+            # array<struct> arrives as a sequence of dicts via Arrow
+            [(d["last_docid"], d["max_tf"], d["offset"], d["bytes"]) for d in bl]
+            for bl in pdf["blocks"]
+        ],
+        [int(x) for x in pdf["last_docid"]],
+        int(pdf["df"].sum()),
+    )
+    return pd.DataFrame(
+        {
+            "term": [pdf["term"].iloc[0]],
+            "df": [int(pdf["df"].sum())],
+            "tf": [int(pdf["tf"].sum())],
+            "postings": [blob],
+            "blocks": [blocks],
+        }
+    )
+
+
+def build_postings(
+    tokens: DataFrame,
+    n_docs: int,
+    *,
+    block_size: int = 128,
+    salt_buckets: int | None = None,
+    docs_per_salt: int = 250_000,
+) -> DataFrame:
+    """(doc_int, term, positions) -> postings(term, df, tf, postings, blocks).
+
+    ``salt_buckets`` > 1 forces the two-phase skew merge; ``None`` sizes
+    it from corpus cardinality (~``docs_per_salt`` docs per salt range,
+    so a df~N stopword's partial encode handles a bounded slice).
+    """
+    if salt_buckets is None:
+        salt_buckets = max(1, math.ceil(n_docs / docs_per_salt))
+
+    span = max(1, math.ceil(n_docs / salt_buckets))
+    salted = tokens.select(
+        "term",
+        "doc_int",
+        "positions",
+        ((F.col("doc_int") - 1) / F.lit(span)).cast("int").alias("salt"),
+    )
+    runs = salted.groupBy("term", "salt").applyInPandas(
+        lambda pdf: _encode_group(pdf, block_size), RUN_SCHEMA
+    )
+    return runs.groupBy("term").applyInPandas(_merge_group, POSTINGS_SCHEMA)
+
+
+def build_index(
+    docs: DataFrame,
+    *,
+    text_col: str = "content",
+    id_col: str = "docid",
+    mode: str = "compat",
+    stem: bool = True,
+    stopwords: frozenset[str] | None = None,
+    remove_numbers: bool = False,
+    block_size: int = 128,
+    salt_buckets: int | None = None,
+    docs_per_salt: int = 250_000,
+    n_buckets: int = 10,
+    with_forward_index: bool = False,
+) -> dict[str, DataFrame]:
+    """Full index build. Returns the engine tables as DataFrames.
+
+    Tables (FIXTURES.md §4): docid_map, doc_stats, collection_stats,
+    postings, lexicon, terms_list [, forward_index_ids].
+    Callers persist them via plans.lineage.write_stage for
+    checkpoint/resume; here we stay lazy so Catalyst sees the whole plan.
+    """
+    from .ids import assign_dense_ids
+
+    spark = docs.sparkSession
+    docs_ids = assign_dense_ids(
+        docs.select(id_col, text_col), id_col, "doc_int"
+    )
+    # tokenize is narrow and carries (docid, doc_int) through the explode —
+    # no join between ids and tokens, per SURVEY.md §4.3
+    tokens_all = _tokenize_keep_int(
+        docs_ids, text_col, id_col, mode, stem, stopwords, remove_numbers
+    )
+    tokens = tokens_all.filter(F.col("term").isNotNull())
+
+    # explode_outer keeps zero-token docs (doc_len = 0) in doc_stats
+    doc_stats = tokens_all.select(id_col, "doc_int", "doc_len").distinct()
+    docid_map = docs_ids.select(id_col, "doc_int")
+    n_docs = docid_map.count()
+
+    # avg_dl divides by TOTAL docs even if some lengths are missing
+    # (reference quirk Q9, Query-engine.hpp:256-263)
+    collection_stats = doc_stats.agg(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        (F.sum("doc_len") / F.lit(n_docs)).alias("avg_dl"),
+    )
+
+    postings = build_postings(
+        tokens.select("term", "doc_int", "positions"),
+        n_docs,
+        block_size=block_size,
+        salt_buckets=salt_buckets,
+        docs_per_salt=docs_per_salt,
+    )
+
+    lexicon = assign_dense_ids(
+        postings.select(
+            "term", "df", "tf", F.length("postings").alias("bytes")
+        ),
+        "term",
+        "term_id",
+    ).select(
+        "term_id",
+        "term",
+        "df",
+        "tf",
+        "bytes",
+        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket_id"),
+    )
+
+    out = {
+        "docid_map": docid_map,
+        "doc_stats": doc_stats,
+        "collection_stats": collection_stats,
+        "postings": postings,
+        "lexicon": lexicon,
+        "terms_list": lexicon.select("term", "term_id"),
+    }
+    if with_forward_index:
+        # J2/F5: remap terms to term_ids; broadcast only works when the
+        # lexicon is small — at scale this is a shuffle join on term
+        out["forward_index_ids"] = (
+            tokens.join(lexicon.select("term", "term_id"), "term", "left")
+            .groupBy("doc_int")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("term_id"),
+                            F.col("tf").alias("freq"),
+                            F.col("positions"),
+                        )
+                    )
+                ).alias("postings")
+            )
+        )
+    return out
+
+
+def _tokenize_keep_int(
+    docs_ids: DataFrame,
+    text_col: str,
+    id_col: str,
+    mode: str,
+    stem: bool,
+    stopwords,
+    remove_numbers: bool,
+) -> DataFrame:
+    """Narrow tokenize that carries (docid, doc_int) through the explode."""
+    from ..analysis.analyzer import analyze_agg_udf
+
+    udf = analyze_agg_udf(mode, stem, stopwords, remove_numbers)
+    analyzed = docs_ids.select(
+        F.col(id_col), F.col("doc_int"), udf(F.col(text_col)).alias("a")
+    ).select(
+        id_col,
+        "doc_int",
+        F.col("a.doc_len").alias("doc_len"),
+        F.explode_outer("a.terms").alias("t"),
+    )
+    # NB: rows with null term (zero-token docs from explode_outer) are
+    # kept here; build_index filters them after deriving doc_stats
+    return analyzed.select(
+        id_col,
+        "doc_int",
+        F.col("t.term").alias("term"),
+        F.col("t.positions").alias("positions"),
+        F.size("t.positions").alias("tf"),
+        "doc_len",
+    )

@@ -1,0 +1,183 @@
+"""BM25 top-k query engine (exact DataFrame path).
+
+Spark rebuild of Query-engine.hpp's search_single/search_multi
+(Query-engine.hpp:275-374, SURVEY.md §3.2): query terms filter the
+postings table (predicate pushdown prunes files by term), a vectorized
+decode kernel expands blobs to (term, doc_int, tf) rows, and scoring,
+AND-intersection and top-k are native DataFrame ops — Catalyst compiles
+the single-query top-k to TakeOrderedAndProject, which the reference's
+full-sort-then-truncate never had.
+
+Modes (quirk register):
+* ``tf_mode="compat"`` scores every term with tf=1 (the reference
+  decodes docids only — Q3) and falls back to floor(avg_dl) for missing
+  doc lengths (Q8). Rank-identical to the reference engine.
+* ``tf_mode="true"`` uses real term frequencies.
+AND semantics intersect only the query terms that exist in the lexicon
+(reference skips empty posting lists — Query-engine.hpp:320-326).
+Ties break (score desc, doc_int asc) — our deterministic addition (Q10).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.bm25 import K1, B, bm25_score
+from ..functions.varbyte import decode_postings_fast
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("df", LongType()),
+        StructField("doc_int", LongType()),
+        StructField("tf", LongType()),
+    ]
+)
+
+
+def decode_postings_df(postings: DataFrame, terms: list[str] | None = None) -> DataFrame:
+    """postings table -> (term, df, doc_int, tf) rows, Arrow-vectorized."""
+    src = postings
+    if terms is not None:
+        src = src.filter(F.col("term").isin(list(terms)))
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_term, out_df, out_doc, out_tf = [], [], [], []
+            for term, df_, blob in zip(pdf["term"], pdf["df"], pdf["postings"]):
+                docids, tfs = decode_postings_fast(bytes(blob))
+                out_term.append(np.repeat(term, docids.size))
+                out_df.append(np.repeat(df_, docids.size))
+                out_doc.append(docids)
+                out_tf.append(tfs)
+            if not out_term:
+                yield pd.DataFrame(
+                    {"term": [], "df": [], "doc_int": [], "tf": []}
+                ).astype({"df": "int64", "doc_int": "int64", "tf": "int64"})
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(out_term),
+                    "df": np.concatenate(out_df).astype(np.int64),
+                    "doc_int": np.concatenate(out_doc),
+                    "tf": np.concatenate(out_tf),
+                }
+            )
+
+    return src.select("term", "df", "postings").mapInPandas(_decode, DECODED_SCHEMA)
+
+
+def _stats(index: dict[str, DataFrame]) -> tuple[int, float]:
+    row = index["collection_stats"].collect()[0]
+    return int(row["n_docs"]), float(row["avg_dl"])
+
+
+def search_batch(
+    index: dict[str, DataFrame],
+    queries: DataFrame,
+    top_k: int = 10,
+    mode: str = "and",
+    tf_mode: str = "true",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Score a batch of queries as ONE Spark job.
+
+    ``queries``: (query_id: long, term: string), one row per query term.
+    Returns (query_id, rank, doc_int, docid, score).
+    """
+    n_docs, avg_dl = _stats(index)
+    terms = [r["term"] for r in queries.select("term").distinct().collect()]
+    decoded = decode_postings_df(index["postings"], terms)
+
+    cand = F.broadcast(queries).join(decoded, "term")
+
+    doc_stats = index["doc_stats"].select("doc_int", "doc_len")
+    cand = cand.join(doc_stats, "doc_int", "left").withColumn(
+        "dl",
+        F.coalesce(F.col("doc_len"), F.floor(F.lit(avg_dl))).cast("double"),
+    )
+
+    tf_eff = F.lit(1.0) if tf_mode == "compat" else F.col("tf").cast("double")
+    scored = cand.withColumn(
+        "term_score",
+        bm25_score(tf_eff, F.col("df"), F.col("dl"), F.lit(float(n_docs)), F.lit(avg_dl), k1, b),
+    )
+
+    per_doc = scored.groupBy("query_id", "doc_int").agg(
+        F.sum("term_score").alias("score"), F.count("*").alias("n_matched")
+    )
+    if mode == "and":
+        # intersect only terms present in the index (per query)
+        n_found = (
+            scored.select("query_id", "term")
+            .distinct()
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_found"))
+        )
+        per_doc = per_doc.join(F.broadcast(n_found), "query_id").filter(
+            F.col("n_matched") == F.col("n_found")
+        )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_int")
+    )
+    topk = (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "rank", "doc_int", "score")
+    )
+    # attach original docids: top-k is tiny -> broadcast it against the map
+    return (
+        F.broadcast(topk)
+        .join(index["docid_map"], "doc_int")
+        .select("query_id", "rank", "doc_int", "docid", "score")
+    )
+
+
+def search(
+    index: dict[str, DataFrame],
+    terms: list[str],
+    top_k: int = 10,
+    mode: str = "and",
+    tf_mode: str = "true",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Single query -> (rank, doc_int, docid, score)."""
+    spark = index["postings"].sparkSession
+    q = spark.createDataFrame(
+        [(0, t) for t in dict.fromkeys(terms)], "query_id long, term string"
+    )
+    return search_batch(index, q, top_k, mode, tf_mode, k1, b).drop("query_id")
+
+
+def search_text(
+    index: dict[str, DataFrame],
+    query: str,
+    top_k: int = 10,
+    mode: str = "and",
+    tf_mode: str = "true",
+    analyzer_mode: str = "compat",
+    stem: bool = True,
+) -> DataFrame:
+    """Analyze a raw query string with the same analyzer as indexing
+    (the reference's query tokenizer skips stemming and never matches a
+    stemmed index — quirk Q4; we default to symmetric analysis)."""
+    from ..analysis.tokenizer import tokenize_compat, tokenize_simple
+
+    if analyzer_mode == "simple":
+        terms = tokenize_simple(query)
+    else:
+        terms = [t.term for t in tokenize_compat(query, stem=stem)]
+    return search(index, terms, top_k, mode, tf_mode)

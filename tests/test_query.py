@@ -1,0 +1,143 @@
+"""BM25 query parity against a pure-Python oracle.
+
+The oracle mirrors Query-engine.hpp:145-155,275-374 line-for-line
+(SURVEY.md §5.2.2): compat mode forces tf=1 and floor(avgdl) fallback;
+true mode uses real tfs. Rank-identity with (score desc, docid asc)
+tiebreak is asserted for single-term, AND and OR queries.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from large_scale_hypertextual_search_engine_spark.operators.index_build import (
+    build_index,
+)
+from large_scale_hypertextual_search_engine_spark.operators.query import (
+    search,
+    search_batch,
+)
+
+K1, B = 1.5, 0.75
+
+
+class PyOracle:
+    """In-memory index + scorer over the same corpus."""
+
+    def __init__(self, docs: list[tuple[str, str]]):
+        self.postings: dict[str, dict[str, int]] = {}
+        self.doc_len: dict[str, int] = {}
+        for docid, text in docs:
+            toks = [t for t in text.split(" ") if t]
+            self.doc_len[docid] = len(toks)
+            for t in toks:
+                self.postings.setdefault(t, {})
+                self.postings[t][docid] = self.postings[t].get(docid, 0) + 1
+        self.n_docs = len(docs)
+        self.avg_dl = sum(self.doc_len.values()) / self.n_docs
+        # internal ids: dense by docid sort order (engine convention)
+        self.doc_int = {d: i + 1 for i, d in enumerate(sorted(self.doc_len))}
+
+    def bm25(self, tf, df, dl):
+        idf = math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        tfc = ((K1 + 1.0) * tf) / (K1 * (1.0 - B + B * (dl / self.avg_dl)) + tf)
+        return idf * tfc
+
+    def search(self, terms, top_k=10, mode="and", tf_mode="true"):
+        found = [t for t in dict.fromkeys(terms) if t in self.postings]
+        if not found:
+            return []
+        if mode == "and":
+            cands = set(self.postings[found[0]])
+            for t in found[1:]:
+                cands &= set(self.postings[t])
+        else:
+            cands = set()
+            for t in found:
+                cands |= set(self.postings[t])
+        results = []
+        for d in cands:
+            score = 0.0
+            for t in found:
+                if d not in self.postings[t]:
+                    continue
+                tf = 1 if tf_mode == "compat" else self.postings[t][d]
+                score += self.bm25(tf, len(self.postings[t]), self.doc_len[d])
+            results.append((d, score))
+        results.sort(key=lambda r: (-r[1], self.doc_int[r[0]]))
+        return results[:top_k]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("cast(doc_id as string) as docid", "text as content")
+        .collect()
+    )
+    return [(r["docid"], r["content"]) for r in rows]
+
+
+@pytest.fixture(scope="module")
+def indexes(spark, corpus):
+    docs = spark.createDataFrame(corpus, "docid string, content string")
+    idx = build_index(docs, mode="simple", stem=False, salt_buckets=2)
+    for k in ("doc_stats", "postings", "lexicon", "docid_map", "collection_stats"):
+        idx[k] = idx[k].cache()
+    return idx, PyOracle(corpus)
+
+
+QUERIES = [
+    (["spark"], "and"),
+    (["the"], "and"),                      # skewed high-df term
+    (["spark", "join"], "and"),
+    (["spark", "join", "window"], "and"),
+    (["spark", "join"], "or"),
+    (["nonexistentterm"], "and"),          # empty result
+    (["spark", "nonexistentterm"], "and"), # reference skips missing terms
+    (["merge", "sort", "hash", "scan"], "and"),
+]
+
+
+@pytest.mark.parametrize("terms,mode", QUERIES)
+@pytest.mark.parametrize("tf_mode", ["true", "compat"])
+def test_search_matches_oracle(indexes, terms, mode, tf_mode):
+    idx, oracle = indexes
+    expect = oracle.search(terms, top_k=10, mode=mode, tf_mode=tf_mode)
+    got = (
+        search(idx, terms, top_k=10, mode=mode, tf_mode=tf_mode)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["docid"] for r in got] == [d for d, _ in expect]
+    for r, (_, s) in zip(got, expect):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_search_batch_one_job(spark, indexes):
+    idx, oracle = indexes
+    qdefs = {1: ["spark"], 2: ["spark", "join"], 3: ["the", "a"]}
+    qrows = [(qid, t) for qid, ts in qdefs.items() for t in ts]
+    queries = spark.createDataFrame(qrows, "query_id long, term string")
+    got = search_batch(idx, queries, top_k=5, tf_mode="true").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, terms in qdefs.items():
+        expect = oracle.search(terms, top_k=5)
+        rows = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        assert [r["docid"] for r in rows] == [d for d, _ in expect], qid
+
+
+def test_search_text_analyzed(indexes):
+    idx, oracle = indexes
+    got = [
+        r["docid"]
+        for r in __import__(
+            "large_scale_hypertextual_search_engine_spark.operators.query",
+            fromlist=["search_text"],
+        ).search_text(idx, "spark join", analyzer_mode="simple").orderBy("rank").collect()
+    ]
+    expect = [d for d, _ in oracle.search(["spark", "join"])]
+    assert got == expect

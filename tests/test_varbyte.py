@@ -1,0 +1,102 @@
+"""Codec tests: roundtrip fuzz, golden postings.bin parity, run merge."""
+
+import numpy as np
+import pytest
+
+from large_scale_hypertextual_search_engine_spark.functions.varbyte import (
+    decode_docids,
+    decode_postings,
+    decode_postings_fast,
+    encode_postings,
+    encode_run,
+    merge_runs,
+    vb_decode,
+    vb_encode,
+)
+from golden_utils import REF
+
+
+def test_vb_roundtrip_fuzz():
+    rng = np.random.default_rng(42)
+    for _ in range(100):
+        vals = rng.integers(0, 2**31, size=int(rng.integers(1, 500)))
+        assert (vb_decode(vb_encode(vals)) == vals.astype(np.uint64)).all()
+
+
+def test_vb_convention():
+    # 7-bit little-endian groups, 0x80 set on the FINAL byte
+    assert vb_encode(np.array([0])) == bytes([0x80])
+    assert vb_encode(np.array([1])) == bytes([0x81])
+    assert vb_encode(np.array([127])) == bytes([0xFF])
+    assert vb_encode(np.array([128])) == bytes([0x00, 0x81])
+    assert vb_encode(np.array([300])) == bytes([0x2C, 0x82])
+
+
+@pytest.mark.parametrize("d", ["index_dir4pdf", "index_dir4pmc"])
+def test_golden_postings_bin_parity(d):
+    """Decode every golden term blob; re-encode must be bit-identical."""
+    lex = []
+    for line in (REF / d / "lexicon.txt").read_text(encoding="utf-8").splitlines():
+        p = line.split("\t")
+        lex.append((p[1], int(p[2]), int(p[3]), int(p[4]), int(p[5])))
+    blob_all = (REF / d / "postings.bin").read_bytes()
+    for term, dfreq, tfreq, off, nb in lex:
+        chunk = blob_all[off : off + nb]
+        docids, tfs, flat = decode_postings(chunk)
+        assert len(docids) == dfreq
+        assert int(tfs.sum()) == tfreq
+        assert (np.diff(docids) > 0).all()
+        d2, t2 = decode_postings_fast(chunk)
+        assert (d2 == docids).all() and (t2 == tfs).all()
+        assert (decode_docids(chunk) == docids).all()
+        reblob, _ = encode_postings(docids, tfs, flat)
+        assert reblob == chunk, term
+
+
+def test_merge_runs_equals_direct_encode():
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        n = int(rng.integers(1, 300))
+        docids = np.sort(rng.choice(np.arange(1, 50000), size=n, replace=False))
+        tfs = rng.integers(1, 6, size=n)
+        flat = np.concatenate(
+            [np.sort(rng.choice(np.arange(1, 2000), size=t, replace=False)) for t in tfs]
+        )
+        full, _ = encode_postings(docids, tfs, flat, block_size=32)
+        k = int(rng.integers(1, 5))
+        cuts = (
+            np.sort(rng.choice(np.arange(1, n), size=min(k, n - 1), replace=False))
+            if n > 1
+            else np.array([], dtype=int)
+        )
+        bounds = [0] + list(cuts) + [n]
+        firsts, lasts, bodies, blockss = [], [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            fs = int(tfs[:s].sum())
+            fe = fs + int(tfs[s:e].sum())
+            body, blocks = encode_run(docids[s:e], tfs[s:e], flat[fs:fe], block_size=32)
+            firsts.append(int(docids[s]))
+            lasts.append(int(docids[e - 1]))
+            bodies.append(body)
+            blockss.append(blocks)
+        merged, mblocks = merge_runs(firsts, bodies, blockss, lasts, n)
+        assert merged == full, f"trial {trial}"
+        d2, t2, p2 = decode_postings(merged)
+        assert (d2 == docids).all() and (t2 == tfs).all() and (p2 == flat).all()
+        # block metadata stays consistent: spans in-bounds, last covers end
+        assert mblocks[-1][0] == int(docids[-1])
+        for (ld, mt, o, nb) in mblocks:
+            assert 0 < o and o + nb <= len(merged)
+
+
+def test_block_metadata_spans_decode():
+    docids = np.arange(1, 1001) * 3
+    tfs = np.full(1000, 2)
+    flat = np.arange(1, 2001)
+    blob, blocks = encode_postings(docids, tfs, flat, block_size=128)
+    assert len(blocks) == 8  # ceil(1000/128)
+    assert blocks[-1][0] == 3000
+    assert all(b[1] == 2 for b in blocks)
+    # byte spans tile the body exactly
+    total = sum(b[3] for b in blocks)
+    assert blocks[0][2] + total == len(blob)
