@@ -1,0 +1,284 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all shuffle-frugal:
+
+* exact        — hash-groupBy on a content digest (one shuffle).
+* minhash_lsh  — shingle -> minhash signature (Arrow kernel) -> banded
+                 bucket join (candidate pairs only, never the cross
+                 product) -> exact-Jaccard verify.
+* simhash      — 64-bit weighted-projection fingerprint; near-dups =
+                 small Hamming distance within rotation buckets.
+* ngram_jaccard— exact shingle-set Jaccard for candidate pairs
+                 (explode + self-join on shingle, count / union).
+
+The token hash is the process-stable FNV from textstats (no reliance on
+Python's randomized hash()), so results are reproducible cluster-wide.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from .textstats import hash_token
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_group_size: int = 2,
+) -> DataFrame:
+    """Groups of byte-identical docs: (digest, n_docs, keep_id).
+
+    keep_id = min id (the canonical representative to retain).
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") >= min_group_size)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Return df with only the canonical row per exact-duplicate group.
+
+    window-free formulation: min(id) per digest, semi-join back — two
+    shuffles on the digest, no global sort.
+    """
+    keep = (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def _shingles(tokens: list[str], k: int) -> list[int]:
+    if len(tokens) < k:
+        return [hash_token(" ".join(tokens))] if tokens else []
+    return [hash_token(" ".join(tokens[i : i + k])) for i in range(len(tokens) - k + 1)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>) — minhash over k-token shingles.
+
+    The kernel is one Arrow-batched pandas UDF doing the whole
+    shingle -> hash -> min reduction in numpy: sig[i] = min over
+    shingles of (a_i * h + b_i mod p). No shuffle; scales linearly.
+    """
+    rng = np.random.default_rng(seed)
+    A = rng.integers(1, int(_MERSENNE), size=num_hashes, dtype=np.uint64)
+    Bv = rng.integers(0, int(_MERSENNE), size=num_hashes, dtype=np.uint64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in it:
+            out = []
+            for text in batch:
+                toks = [t for t in (text or "").split(" ") if t]
+                sh = np.array(_shingles(toks, shingle_k), dtype=np.uint64)
+                if sh.size == 0:
+                    out.append([0] * num_hashes)
+                    continue
+                # (H, S) permuted hashes; python-int modmul to avoid overflow
+                vals = (
+                    (sh[None, :] * A[:, None]) % _MERSENNE + Bv[:, None]
+                ) % _MERSENNE
+                out.append([int(v) for v in vals.min(axis=1)])
+            yield pd.Series(out)
+
+    return df.select(F.col(id_col), _sig(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via banded LSH: (id_a, id_b, est_jaccard).
+
+    Shuffles: one on (band, band_hash) for the bucket join, one for pair
+    dedup. Candidate generation is |buckets| bound, never O(n^2); the
+    estimated Jaccard (signature agreement rate) filters at `threshold`.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    banded = sigs.select(
+        F.col(id_col),
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band).cast(
+                            "array<string>"
+                        ).cast("string"),
+                        F.lit(b),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_hash"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
+    )
+    pairs = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+            lambda x: x == 1,
+        )
+    )
+    return (
+        pairs.withColumn("est_jaccard", agree / F.lit(num_hashes))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_udf(num_bits: int = 64):
+    """64-bit SimHash over tokens (Arrow kernel): sign of the sum of
+    per-token bit projections, weighted by token frequency."""
+
+    @F.pandas_udf(LongType())
+    def _simhash(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in it:
+            out = np.zeros(len(batch), dtype=np.int64)
+            for i, text in enumerate(batch):
+                toks = [t for t in (text or "").split(" ") if t]
+                if not toks:
+                    continue
+                acc = np.zeros(num_bits, dtype=np.int64)
+                uniq, counts = np.unique(np.array(toks), return_counts=True)
+                for tok, c in zip(uniq, counts):
+                    h = np.uint64(hash_token(tok))
+                    bits = (h >> np.arange(num_bits, dtype=np.uint64)) & np.uint64(1)
+                    acc += np.where(bits == 1, c, -c)
+                sig = np.uint64(0)
+                for bpos in range(num_bits):
+                    if acc[bpos] > 0:
+                        sig |= np.uint64(1) << np.uint64(bpos)
+                out[i] = int(sig.astype(np.int64))
+            yield pd.Series(out)
+
+    return _simhash
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_tables: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: bucket by n_tables 16-bit slices (a pair
+    within Hamming<=3 of a 64-bit hash agrees on >=1 of 4 slices by
+    pigeonhole), join within buckets, verify exact Hamming distance."""
+    sh = df.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("simhash"))
+    slices = sh.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", 16 * t).bitwiseAND(F.lit(0xFFFF))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tbl", "key"),
+    )
+    left = slices.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "tbl", "key"
+    )
+    right = slices.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "tbl", "key"
+    )
+    cand = (
+        left.join(right, ["tbl", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard for all pairs sharing >=1 shingle.
+
+    explode(shingles) self-join on shingle computes |A ∩ B| per pair in
+    one shuffle; |A ∪ B| = |A| + |B| − |A ∩ B| from per-doc distinct
+    counts. Candidate pairs are bounded by co-occurrence, not n^2.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    grams = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    sizes = grams.select(id_col, F.size("grams").alias("n_grams"))
+    exploded = grams.select(id_col, F.explode("grams").alias("gram"))
+    inter = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "gram")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

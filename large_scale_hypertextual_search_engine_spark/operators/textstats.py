@@ -91,11 +91,15 @@ def language_id(
     """
     markers = markers or LANG_MARKERS
     toks = tokens_col(F.col(text_col))
+
+    def _hits(ws: tuple[str, ...]):
+        # NB: a 2-arg lambda would be treated as (element, index) by
+        # F.filter — bind the word list via closure factory instead
+        return lambda t: t.isin(*ws)
+
     scores = [
         F.struct(
-            F.size(
-                F.filter(toks, lambda t, ws=ws: t.isin(*ws))
-            ).alias("hits"),
+            F.size(F.filter(toks, _hits(ws))).alias("hits"),
             F.lit(lang).alias("lang"),
         )
         for lang, ws in sorted(markers.items())

@@ -1,0 +1,119 @@
+"""Incremental index maintenance via Structured Streaming.
+
+The reference is batch-only (README.md:241-249); this is our extension
+(SURVEY.md §2.9): new documents arrive on a stream, each micro-batch is
+tokenized and encoded into *delta posting runs* (same run format as the
+salted two-phase merge), appended to a ``postings_delta`` table. A
+periodic ``compact`` merges base + delta runs per term with the same
+``merge_runs`` byte-surgery used by the skew path — so the streaming
+path reuses the batch machinery instead of duplicating it.
+
+Doc IDs for streamed docs are minted per batch above the current max
+(contiguous within a batch; global density is restored at compaction).
+Query-time: ``postings_with_deltas`` unions base and delta runs — the
+decode path already handles multi-run terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.index_build import RUN_SCHEMA, _encode_group
+
+
+def _encode_batch_runs(tokens: DataFrame, batch_id: int) -> DataFrame:
+    salted = tokens.select(
+        "term", "doc_int", "positions", F.lit(int(batch_id)).cast("int").alias("salt")
+    )
+    return salted.groupBy("term", "salt").applyInPandas(
+        lambda pdf: _encode_group(pdf, 128), RUN_SCHEMA
+    )
+
+
+def index_stream(
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    mode: str = "simple",
+    stem: bool = False,
+    trigger_available_now: bool = True,
+):
+    """Start (or run-to-completion with AvailableNow) the incremental
+    indexer. ``docs_stream`` must have (docid, content)."""
+    from ..operators.index_build import _tokenize_keep_int
+
+    d = out_dir.rstrip("/")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.take(1):
+            return
+        try:
+            base_max = (
+                spark.read.parquet(f"{d}/delta_docid_map")
+                .agg(F.max("doc_int"))
+                .collect()[0][0]
+                or 0
+            )
+        except Exception:
+            base_max = 0
+        from ..operators.ids import assign_dense_ids
+
+        ids = assign_dense_ids(
+            batch_df.select("docid", "content"), "docid", "doc_int",
+            start=base_max + 1,
+        )
+        ids.select("docid", "doc_int").withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(f"{d}/delta_docid_map")
+        tokens = _tokenize_keep_int(
+            ids, "content", "docid", mode, stem, None, False
+        ).filter(F.col("term").isNotNull())
+        tokens.select(
+            "docid", "doc_int", "doc_len"
+        ).distinct().withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(f"{d}/delta_doc_stats")
+        _encode_batch_runs(
+            tokens.select("term", "doc_int", "positions"), batch_id
+        ).write.mode("append").parquet(f"{d}/delta_runs")
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge all delta runs into final per-term posting lists."""
+    from ..operators.index_build import POSTINGS_SCHEMA, _merge_group
+
+    d = out_dir.rstrip("/")
+    runs = spark.read.parquet(f"{d}/delta_runs")
+    return runs.groupBy("term").applyInPandas(_merge_group, POSTINGS_SCHEMA)
+
+
+def delta_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
+    """Assemble a queryable index view over the streamed deltas."""
+    d = out_dir.rstrip("/")
+    postings = compact(spark, out_dir)
+    doc_stats = spark.read.parquet(f"{d}/delta_doc_stats").select(
+        "docid", "doc_int", "doc_len"
+    )
+    docid_map = spark.read.parquet(f"{d}/delta_docid_map").select("docid", "doc_int")
+    n_docs = docid_map.count()
+    collection_stats = doc_stats.agg(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        (F.sum("doc_len") / F.lit(n_docs)).alias("avg_dl"),
+    )
+    return {
+        "postings": postings,
+        "doc_stats": doc_stats,
+        "docid_map": docid_map,
+        "collection_stats": collection_stats,
+    }

@@ -1,0 +1,96 @@
+"""Driver-contract check: every queries() entry vs its DuckDB oracle.
+
+Mirrors the driver's CORRECTNESS gate: row count + column names +
+order-insensitive value comparison (values normalized: floats rounded,
+dates stringified). Runs at sf0.001 for speed; the driver runs sf0.01.
+"""
+
+import datetime
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return str(v)[:10]
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return v
+
+
+def _rowset(rows, cols):
+    return sorted(
+        tuple(_norm(r[c]) for c in cols) for r in rows
+    )
+
+
+ORACLE_QUERIES = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    srows = [r.asDict() for r in sdf.collect()]
+    scols = sdf.columns
+
+    con = _duck()
+    cur = con.execute(entry_mod.oracle_sql()[name])
+    ocols = [d[0] for d in cur.description]
+    orows = [dict(zip(ocols, r)) for r in cur.fetchall()]
+
+    assert sorted(scols) == sorted(ocols), f"{name}: column mismatch {scols} vs {ocols}"
+    assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
+    key = sorted(scols)
+    sset = _rowset(srows, key)
+    oset = _rowset(orows, key)
+    if sset != oset:
+        diffs = [
+            (a, b) for a, b in zip(sset, oset) if a != b
+        ][:5]
+        pytest.fail(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_rows_only_queries_run(spark):
+    all_q = entry_mod.queries()
+    rows_only = [k for k in all_q if k not in entry_mod.oracle_sql()]
+    assert rows_only  # we do ship non-SQL-expressible operators
+    for name in rows_only:
+        df = all_q[name](spark, SF_DIR)
+        n = df.count()
+        assert n >= 0, name
+        assert df.columns, name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns
