@@ -1,0 +1,136 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query timings are end-to-end (plan + execute + materialize counts).
+Index-build throughput (docs/sec) and per-query latency are also
+embedded under "extra" for BENCH/BASELINE.md tracking.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from large_scale_hypertextual_search_engine_spark.session import get_spark
+    from large_scale_hypertextual_search_engine_spark.operators.index_build import (
+        build_index,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.query import (
+        search, search_batch,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.autocomplete import (
+        suggest,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.similarity import (
+        cosine_topk_batch,
+    )
+    import __spark_entry__ as entry
+
+    spark = get_spark(app_name="bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("docid"),
+        F.col("text").alias("content"),
+    ).cache()
+    n_docs = docs.count()
+
+    # --- index build (reference-compat analyzer incl. stemming) ---
+    def _build(mode, stem):
+        idx = build_index(docs, mode=mode, stem=stem, salt_buckets=4)
+        idx["postings"].write.mode("overwrite").parquet("/tmp/bench_postings")
+        return idx
+
+    idx = timed("index_build_compat", lambda: _build("compat", True))
+    extra["index_docs_per_sec_compat"] = round(n_docs / timings["index_build_compat"], 1)
+    idx = timed("index_build_simple", lambda: _build("simple", False))
+    extra["index_docs_per_sec_simple"] = round(n_docs / timings["index_build_simple"], 1)
+    # serve queries from the materialized index (the realistic shape:
+    # a cached-DataFrame index would drag the whole build lineage into
+    # every query plan)
+    for name in ("doc_stats", "lexicon", "docid_map", "collection_stats"):
+        idx[name].write.mode("overwrite").parquet(f"/tmp/bench_{name}")
+    idx = {
+        name: spark.read.parquet(f"/tmp/bench_{name}")
+        for name in ("postings", "doc_stats", "lexicon", "docid_map", "collection_stats")
+    }
+
+    # --- BM25 query batch: 48 mixed queries as ONE job ---
+    lex_terms = [r["term"] for r in idx["lexicon"].orderBy(F.desc("tf")).limit(24).collect()]
+    qrows = []
+    qid = 0
+    for i, t in enumerate(lex_terms):
+        qrows.append((qid, t)); qid += 1
+    for i in range(0, len(lex_terms) - 1, 2):
+        qrows.append((qid, lex_terms[i])); qrows.append((qid, lex_terms[i + 1])); qid += 1
+    queries = spark.createDataFrame(qrows, "query_id long, term string")
+    res = timed(
+        "bm25_batch",
+        lambda: search_batch(idx, queries, top_k=10, tf_mode="true").count(),
+    )
+    extra["bm25_qps"] = round(qid / timings["bm25_batch"], 2)
+
+    timed("bm25_single", lambda: search(idx, ["spark", "join"], top_k=10).count())
+    timed("autocomplete", lambda: suggest(idx["lexicon"], "s").count())
+
+    # --- training-data ops ---
+    raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed(
+        "dedup_minhash",
+        lambda: minhash_lsh_pairs(raw_docs, "text", "doc_id", threshold=0.8).count(),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    import numpy as np
+
+    Q = np.stack(
+        [r["embedding"] for r in emb.orderBy("vec_id").limit(32).collect()]
+    )
+    timed("ann_batch32", lambda: cosine_topk_batch(emb, Q, k=10).count())
+
+    # --- relational ---
+    timed("tpch_q1", lambda: entry.q_tpch_q1(spark, sf_dir).count())
+    timed("tpch_q3", lambda: entry.q_tpch_q3(spark, sf_dir).count())
+    timed("events_sessionize", lambda: entry.q_events_sessionize(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                "extra": extra,
+                "cores": cores,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -22,10 +22,17 @@ register Q5/Q12):
 
 from __future__ import annotations
 
+import re
 import unicodedata
 from typing import NamedTuple
 
 from .stemmer import stem as _stem
+
+# ASCII fast path: candidate runs of token chars + apostrophe; runs are
+# then split at apostrophes that lack alphabetic neighbors (exactly the
+# char-loop semantics, but regex-scanned)
+_ASCII_RUN = re.compile(r"[a-z0-9']+")
+_BAD_APOSTROPHE = re.compile(r"(?<![a-z])'|'(?![a-z])")
 
 # 21-word built-in default stoplist of the reference cleaner.
 DEFAULT_STOPWORDS = frozenset(
@@ -84,6 +91,10 @@ def tokenize_compat(
     low = norm.translate(_ASCII_LOWER)
 
     sw = stopwords if stopwords is not None else frozenset()
+    if norm.isascii():
+        return _tokenize_ascii_fast(
+            low, norm, stem, sw, remove_numbers, keep_original
+        )
     out: list[Token] = []
     pos = 0
     start = -1  # start index of current token run, -1 = none
@@ -128,6 +139,65 @@ def tokenize_compat(
         flush(i, orig_case=False)
         i += 1
     flush(n, orig_case=False)
+    return out
+
+
+def _tokenize_ascii_fast(
+    low: str,
+    norm: str,
+    stem: bool,
+    sw: frozenset[str],
+    remove_numbers: bool,
+    keep_original: bool,
+) -> list[Token]:
+    """Regex-scanned fast path, exactly equivalent to the char loop for
+    ASCII input (the overwhelmingly common case): candidate runs of
+    ``[a-z0-9']`` are split at apostrophes without alphabetic neighbors;
+    a token flushed AT such an apostrophe carries the original-case orig
+    (the reference quirk), tokens flushed at run end carry the
+    lowercased term."""
+    out: list[Token] = []
+    pos = 0
+    for m in _ASCII_RUN.finditer(low):
+        run = m.group()
+        base = m.start()
+        if "'" not in run:
+            pos += 1
+            if remove_numbers and run.isdigit():
+                continue
+            if run in sw:
+                continue
+            final = _stem(run) if stem else run
+            out.append(Token(final, pos, run if keep_original else ""))
+            continue
+        # split the run at "bad" apostrophes (no alpha on either side)
+        start = 0
+        n = len(run)
+        for i in range(n + 1):
+            at_bad = False
+            if i < n and run[i] == "'":
+                left_ok = i > 0 and run[i - 1].isalpha()
+                right_ok = i + 1 < n and run[i + 1].isalpha()
+                at_bad = not (left_ok and right_ok)
+                if not at_bad:
+                    continue
+            elif i < n:
+                continue
+            piece = run[start:i]
+            if piece:
+                pos += 1
+                keep = True
+                if remove_numbers and piece.isdigit():
+                    keep = False
+                elif piece in sw:
+                    keep = False
+                if keep:
+                    orig = (
+                        norm[base + start : base + i] if at_bad else piece
+                    )
+                    final = _stem(piece) if stem else piece
+                    out.append(Token(final, pos, orig if keep_original else ""))
+            start = i + 1
     return out
 
 

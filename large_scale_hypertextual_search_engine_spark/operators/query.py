@@ -78,8 +78,12 @@ def decode_postings_df(postings: DataFrame, terms: list[str] | None = None) -> D
 
 
 def _stats(index: dict[str, DataFrame]) -> tuple[int, float]:
+    cached = index.get("_stats")
+    if cached is not None:
+        return cached
     row = index["collection_stats"].collect()[0]
-    return int(row["n_docs"]), float(row["avg_dl"])
+    index["_stats"] = (int(row["n_docs"]), float(row["avg_dl"]))
+    return index["_stats"]
 
 
 def search_batch(
@@ -90,14 +94,17 @@ def search_batch(
     tf_mode: str = "true",
     k1: float = K1,
     b: float = B,
+    terms: list[str] | None = None,
 ) -> DataFrame:
     """Score a batch of queries as ONE Spark job.
 
     ``queries``: (query_id: long, term: string), one row per query term.
-    Returns (query_id, rank, doc_int, docid, score).
+    Pass ``terms`` (the distinct term list) when already known to skip a
+    driver round-trip. Returns (query_id, rank, doc_int, docid, score).
     """
     n_docs, avg_dl = _stats(index)
-    terms = [r["term"] for r in queries.select("term").distinct().collect()]
+    if terms is None:
+        terms = [r["term"] for r in queries.select("term").distinct().collect()]
     decoded = decode_postings_df(index["postings"], terms)
 
     cand = F.broadcast(queries).join(decoded, "term")
@@ -156,10 +163,13 @@ def search(
 ) -> DataFrame:
     """Single query -> (rank, doc_int, docid, score)."""
     spark = index["postings"].sparkSession
+    uniq = list(dict.fromkeys(terms))
     q = spark.createDataFrame(
-        [(0, t) for t in dict.fromkeys(terms)], "query_id long, term string"
+        [(0, t) for t in uniq], "query_id long, term string"
     )
-    return search_batch(index, q, top_k, mode, tf_mode, k1, b).drop("query_id")
+    return search_batch(index, q, top_k, mode, tf_mode, k1, b, terms=uniq).drop(
+        "query_id"
+    )
 
 
 def search_text(

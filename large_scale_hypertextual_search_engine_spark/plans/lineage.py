@@ -49,6 +49,7 @@ def run_stage(
     """Compute-or-resume one stage. Returns the stage output DataFrame
     (always read back from storage so downstream plans cut lineage)."""
     if stage_is_current(path, fingerprint):
+        spark.catalog.refreshByPath(path)
         return spark.read.parquet(path)
     t0 = time.time()
     df = compute()
@@ -58,6 +59,7 @@ def run_stage(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    spark.catalog.refreshByPath(path)
     out = spark.read.parquet(path)
     rows = out.count()
     _meta_path(path).write_text(
