@@ -91,7 +91,8 @@ def encode_run(
     tfs: np.ndarray,
     flat_positions: np.ndarray,
     block_size: int = 128,
-) -> tuple[bytes, list[tuple[int, int, int, int]]]:
+    doc_lens: np.ndarray | None = None,
+) -> tuple[bytes, list[tuple[int, int, int, int, int]]]:
     """Encode one posting *run* (body only, no doc-count prefix).
 
     docids must be sorted ascending; ``flat_positions`` is the
@@ -102,14 +103,23 @@ def encode_run(
     (``merge_runs``) — the cheap final phase of the salted two-phase
     skew merge (SURVEY.md §4.2.4).
 
-    Returns (body, blocks): blocks is (last_docid, max_tf, byte_offset,
-    byte_len) per ``block_size`` docs, offsets relative to body start.
+    Returns (body, blocks): blocks is (last_docid, max_tf, min_dl,
+    byte_offset, byte_len) per ``block_size`` docs, offsets relative to
+    body start. ``min_dl`` (smallest doc length in the block, 0 if
+    doc_lens not given) makes the Block-Max-WAND score bound tight:
+    BM25's tf component is increasing in tf and decreasing in dl, so
+    f(max_tf, min_dl) bounds every posting in the block.
     """
     n = int(np.asarray(docids).size)
     if n == 0:
         return b"", []
     tfs_arr = np.asarray(tfs, dtype=np.int64)
     docids_arr = np.asarray(docids, dtype=np.int64)
+    dls = (
+        np.asarray(doc_lens, dtype=np.int64)
+        if doc_lens is not None
+        else np.zeros(n, dtype=np.int64)
+    )
     flat = _interleave_postings(docids_arr, tfs_arr, np.asarray(flat_positions))[1:]
     body = vb_encode(flat)
     v = flat.astype(_U64)
@@ -126,7 +136,7 @@ def encode_run(
     doc_byte_start = np.concatenate(
         ([0], byte_ends[doc_start_val[1:] - 1].astype(np.int64))
     )
-    blocks: list[tuple[int, int, int, int]] = []
+    blocks: list[tuple[int, int, int, int, int]] = []
     for s in range(0, n, block_size):
         e = min(s + block_size, n)
         b_start = int(doc_byte_start[s])
@@ -135,6 +145,7 @@ def encode_run(
             (
                 int(docids_arr[e - 1]),
                 int(tfs_arr[s:e].max()),
+                int(dls[s:e].min()),
                 b_start,
                 b_end - b_start,
             )
@@ -147,14 +158,17 @@ def encode_postings(
     tfs: np.ndarray,
     flat_positions: np.ndarray,
     block_size: int = 128,
-) -> tuple[bytes, list[tuple[int, int, int, int]]]:
+    doc_lens: np.ndarray | None = None,
+) -> tuple[bytes, list[tuple[int, int, int, int, int]]]:
     """Encode a full posting list in the reference layout:
     ``vb(n_docs)`` + run body. Block offsets include the count prefix."""
     n = int(np.asarray(docids).size)
     head = vb_encode(np.array([n]))
-    body, blocks = encode_run(docids, tfs, flat_positions, block_size)
+    body, blocks = encode_run(docids, tfs, flat_positions, block_size, doc_lens)
     h = len(head)
-    return head + body, [(ld, mt, off + h, nb) for (ld, mt, off, nb) in blocks]
+    return head + body, [
+        (ld, mt, md, off + h, nb) for (ld, mt, md, off, nb) in blocks
+    ]
 
 
 def _first_vb_len(body: bytes) -> int:
@@ -179,7 +193,7 @@ def merge_runs(
     byte concat, so merging a skewed term's S runs costs O(total bytes)
     memcpy, not a re-encode."""
     parts: list[bytes] = [vb_encode(np.array([total_docs]))]
-    out_blocks: list[tuple[int, int, int, int]] = []
+    out_blocks: list[tuple[int, int, int, int, int]] = []
     acc = len(parts[0])
     prev_last = 0
     for i, (first, body, blocks) in enumerate(zip(first_docids, bodies, blocks_list)):
@@ -190,11 +204,11 @@ def merge_runs(
         parts.append(new_first)
         parts.append(body[flen:])
         grow = len(new_first) - flen
-        for (ld, mt, off, nb) in blocks:
+        for (ld, mt, md, off, nb) in blocks:
             # the run's first block absorbs the rewritten first group
             nb2 = nb + grow if off == 0 else nb
             off2 = off + acc if off == 0 else off + acc + grow
-            out_blocks.append((ld, mt, off2, nb2))
+            out_blocks.append((ld, mt, md, off2, nb2))
         acc += len(body) + grow
         prev_last = int(last_docids[i])
     return b"".join(parts), out_blocks

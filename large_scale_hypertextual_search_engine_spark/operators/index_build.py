@@ -48,6 +48,7 @@ BLOCK_SCHEMA = ArrayType(
         [
             StructField("last_docid", LongType()),
             StructField("max_tf", IntegerType()),
+            StructField("min_dl", IntegerType()),
             StructField("offset", IntegerType()),
             StructField("bytes", IntegerType()),
         ]
@@ -85,7 +86,8 @@ def _encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     positions = pdf["positions"].tolist()
     tfs = np.fromiter((len(p) for p in positions), dtype=np.int64, count=len(positions))
     flat = np.concatenate(positions) if positions else np.zeros(0, np.int64)
-    body, blocks = encode_run(docids, tfs, flat, block_size)
+    dls = pdf["doc_len"].to_numpy() if "doc_len" in pdf.columns else None
+    body, blocks = encode_run(docids, tfs, flat, block_size, dls)
     return pd.DataFrame(
         {
             "term": [pdf["term"].iloc[0]],
@@ -108,7 +110,10 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         [bytes(b) for b in pdf["body"]],
         [
             # array<struct> arrives as a sequence of dicts via Arrow
-            [(d["last_docid"], d["max_tf"], d["offset"], d["bytes"]) for d in bl]
+            [
+                (d["last_docid"], d["max_tf"], d["min_dl"], d["offset"], d["bytes"])
+                for d in bl
+            ]
             for bl in pdf["blocks"]
         ],
         [int(x) for x in pdf["last_docid"]],
@@ -143,10 +148,11 @@ def build_postings(
         salt_buckets = max(1, math.ceil(n_docs / docs_per_salt))
 
     span = max(1, math.ceil(n_docs / salt_buckets))
+    carry = ["term", "doc_int", "positions"] + (
+        ["doc_len"] if "doc_len" in tokens.columns else []
+    )
     salted = tokens.select(
-        "term",
-        "doc_int",
-        "positions",
+        *carry,
         ((F.col("doc_int") - 1) / F.lit(span)).cast("int").alias("salt"),
     )
     runs = salted.groupBy("term", "salt").applyInPandas(
@@ -203,7 +209,7 @@ def build_index(
     )
 
     postings = build_postings(
-        tokens.select("term", "doc_int", "positions"),
+        tokens.select("term", "doc_int", "positions", "doc_len"),
         n_docs,
         block_size=block_size,
         salt_buckets=salt_buckets,

@@ -121,8 +121,16 @@ def search_batch(
         bm25_score(tf_eff, F.col("df"), F.col("dl"), F.lit(float(n_docs)), F.lit(avg_dl), k1, b),
     )
 
+    # deterministic FP sum: per-doc term scores are sorted before the
+    # sequential add, so results are bit-stable across partitionings and
+    # bit-identical to the WAND kernel's sorted sum
     per_doc = scored.groupBy("query_id", "doc_int").agg(
-        F.sum("term_score").alias("score"), F.count("*").alias("n_matched")
+        F.aggregate(
+            F.sort_array(F.collect_list("term_score")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+        F.count("*").alias("n_matched"),
     )
     if mode == "and":
         # intersect only terms present in the index (per query)

@@ -151,7 +151,7 @@ def build_and_save_index(
     postings = run_stage(
         spark, "postings", f"{d}/postings", fingerprint,
         lambda: build_postings(
-            tokens.select("term", "doc_int", "positions"),
+            tokens.select("term", "doc_int", "positions", "doc_len"),
             n_docs,
             block_size=block_size,
             salt_buckets=salt_buckets,

@@ -22,8 +22,11 @@ from ..operators.index_build import RUN_SCHEMA, _encode_group
 
 
 def _encode_batch_runs(tokens: DataFrame, batch_id: int) -> DataFrame:
+    carry = ["term", "doc_int", "positions"] + (
+        ["doc_len"] if "doc_len" in tokens.columns else []
+    )
     salted = tokens.select(
-        "term", "doc_int", "positions", F.lit(int(batch_id)).cast("int").alias("salt")
+        *carry, F.lit(int(batch_id)).cast("int").alias("salt")
     )
     return salted.groupBy("term", "salt").applyInPandas(
         lambda pdf: _encode_group(pdf, 128), RUN_SCHEMA
@@ -76,7 +79,7 @@ def index_stream(
             "append"
         ).parquet(f"{d}/delta_doc_stats")
         _encode_batch_runs(
-            tokens.select("term", "doc_int", "positions"), batch_id
+            tokens.select("term", "doc_int", "positions", "doc_len"), batch_id
         ).write.mode("append").parquet(f"{d}/delta_runs")
 
     writer = (

@@ -85,7 +85,7 @@ def test_merge_runs_equals_direct_encode():
         assert (d2 == docids).all() and (t2 == tfs).all() and (p2 == flat).all()
         # block metadata stays consistent: spans in-bounds, last covers end
         assert mblocks[-1][0] == int(docids[-1])
-        for (ld, mt, o, nb) in mblocks:
+        for (ld, mt, md, o, nb) in mblocks:
             assert 0 < o and o + nb <= len(merged)
 
 
@@ -93,10 +93,13 @@ def test_block_metadata_spans_decode():
     docids = np.arange(1, 1001) * 3
     tfs = np.full(1000, 2)
     flat = np.arange(1, 2001)
-    blob, blocks = encode_postings(docids, tfs, flat, block_size=128)
+    blob, blocks = encode_postings(
+        docids, tfs, flat, block_size=128, doc_lens=np.full(1000, 7)
+    )
     assert len(blocks) == 8  # ceil(1000/128)
     assert blocks[-1][0] == 3000
     assert all(b[1] == 2 for b in blocks)
+    assert all(b[2] == 7 for b in blocks)  # min_dl carried
     # byte spans tile the body exactly
-    total = sum(b[3] for b in blocks)
-    assert blocks[0][2] + total == len(blob)
+    total = sum(b[4] for b in blocks)
+    assert blocks[0][3] + total == len(blob)
