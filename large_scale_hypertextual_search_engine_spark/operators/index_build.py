@@ -79,6 +79,122 @@ POSTINGS_SCHEMA = StructType(
 )
 
 
+RUNS_DDL = (
+    "term string, salt int, df long, tf long, first_docid long, "
+    "last_docid long, body binary, blocks_bin binary"
+)
+
+
+def _encode_arrow_batches(block_size: int):
+    """Arrow-native phase-1 encode: each input row is one (term, salt)
+    group with its postings pre-aggregated JVM-side into a sorted
+    array<struct<doc_int,positions,doc_len>>. The kernel unpacks the
+    nested Arrow arrays into flat numpy views ONCE per batch (zero-copy
+    where possible), then per row only slices + encodes — no per-group
+    pandas DataFrame construction, which is ~1000x less Python overhead
+    than applyInPandas on Zipf vocabularies where most groups are tiny.
+    Block metadata is packed as int64[n,5] bytes between phases (cheap
+    to merge); the final phase unpacks it to the struct schema.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _encode(batches):
+        for batch in batches:
+            pl = batch.column("pl")
+            lens = pc.list_value_length(pl).to_numpy().astype(np.int64)
+            st = pl.flatten()
+            doc = st.field("doc_int").to_numpy(zero_copy_only=False).astype(np.int64)
+            posl = st.field("positions")
+            tfs_all = pc.list_value_length(posl).to_numpy().astype(np.int64)
+            flat = posl.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            dls_all = st.field("doc_len").to_numpy(zero_copy_only=False).astype(np.int64)
+            bounds = np.concatenate(([0], np.cumsum(lens)))
+            pos_cum = np.concatenate(([0], np.cumsum(tfs_all)))
+            dfs, tfs, firsts, lasts, bodies, blocks_bins = [], [], [], [], [], []
+            for r in range(batch.num_rows):
+                s, e = bounds[r], bounds[r + 1]
+                d = doc[s:e]
+                t = tfs_all[s:e]
+                body, blocks = encode_run(
+                    d, t, flat[pos_cum[s] : pos_cum[e]], block_size, dls_all[s:e]
+                )
+                dfs.append(e - s)
+                tfs.append(int(t.sum()))
+                firsts.append(int(d[0]))
+                lasts.append(int(d[-1]))
+                bodies.append(body)
+                blocks_bins.append(
+                    np.asarray(blocks, dtype=np.int64).tobytes()
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("term"),
+                    batch.column("salt"),
+                    pa.array(dfs, pa.int64()),
+                    pa.array(tfs, pa.int64()),
+                    pa.array(firsts, pa.int64()),
+                    pa.array(lasts, pa.int64()),
+                    pa.array(bodies, pa.binary()),
+                    pa.array(blocks_bins, pa.binary()),
+                ],
+                names=[
+                    "term", "salt", "df", "tf",
+                    "first_docid", "last_docid", "body", "blocks_bin",
+                ],
+            )
+
+    return _encode
+
+
+def _unpack_blocks(blocks_bin: bytes, head: int = 0):
+    bb = np.frombuffer(bytes(blocks_bin), dtype=np.int64).reshape(-1, 5)
+    return [
+        (int(a), int(b), int(c), int(d) + head, int(e))
+        for a, b, c, d, e in bb
+    ]
+
+
+def _merge_batches(batches) -> "pd.DataFrame":
+    """Phase-2 merge: one input row per term carrying its runs
+    (array<struct>). Most terms have a single run -> count-prefix
+    prepend only; salted skew terms get the ordered byte-concat merge."""
+    from ..functions.varbyte import vb_encode
+
+    for pdf in batches:
+        terms, dfs, tfs, blobs, blockss = [], [], [], [], []
+        for term, runs in zip(pdf["term"], pdf["runs"]):
+            runs = sorted(runs, key=lambda r: r["first_docid"])
+            total_df = int(sum(r["df"] for r in runs))
+            if len(runs) == 1:
+                r = runs[0]
+                head = vb_encode(np.array([total_df]))
+                blob = bytes(head) + bytes(r["body"])
+                blocks = _unpack_blocks(r["blocks_bin"], len(head))
+            else:
+                blob, blocks = merge_runs(
+                    [int(r["first_docid"]) for r in runs],
+                    [bytes(r["body"]) for r in runs],
+                    [_unpack_blocks(r["blocks_bin"]) for r in runs],
+                    [int(r["last_docid"]) for r in runs],
+                    total_df,
+                )
+            terms.append(term)
+            dfs.append(total_df)
+            tfs.append(int(sum(r["tf"] for r in runs)))
+            blobs.append(blob)
+            blockss.append(blocks)
+        yield pd.DataFrame(
+            {
+                "term": terms,
+                "df": dfs,
+                "tf": tfs,
+                "postings": blobs,
+                "blocks": blockss,
+            }
+        )
+
+
 def _encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     """Encode one (term, salt) group into a posting run (phase 1)."""
     pdf = pdf.sort_values("doc_int")
@@ -137,28 +253,59 @@ def build_postings(
     block_size: int = 128,
     salt_buckets: int | None = None,
     docs_per_salt: int = 250_000,
+    partitions: int | None = None,
 ) -> DataFrame:
     """(doc_int, term, positions) -> postings(term, df, tf, postings, blocks).
 
     ``salt_buckets`` > 1 forces the two-phase skew merge; ``None`` sizes
     it from corpus cardinality (~``docs_per_salt`` docs per salt range,
     so a df~N stopword's partial encode handles a bounded slice).
+
+    Physical shape: the SPIMI partial agg + k-way merge is ONE JVM hash
+    aggregate per phase (``groupBy().agg(sort_array(collect_list))`` —
+    map-side partial aggregation included), followed by an Arrow-batch
+    encode kernel. Partition counts are pinned explicitly (AQE would
+    coalesce a small shuffle to 1 task and serialize the Python encode,
+    which it can't cost-model; at 100 TB the explicit ``repartition``
+    by the grouping key is what we'd want anyway — the encode stage
+    reuses the agg's partitioning, no extra exchange).
     """
     if salt_buckets is None:
         salt_buckets = max(1, math.ceil(n_docs / docs_per_salt))
+    if partitions is None:
+        partitions = int(
+            tokens.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
 
     span = max(1, math.ceil(n_docs / salt_buckets))
-    carry = ["term", "doc_int", "positions"] + (
-        ["doc_len"] if "doc_len" in tokens.columns else []
-    )
+    has_dl = "doc_len" in tokens.columns
     salted = tokens.select(
-        *carry,
+        "term",
         ((F.col("doc_int") - 1) / F.lit(span)).cast("int").alias("salt"),
+        F.struct(
+            F.col("doc_int"),
+            F.col("positions"),
+            (F.col("doc_len") if has_dl else F.lit(0)).cast("int").alias("doc_len"),
+        ).alias("p"),
     )
-    runs = salted.groupBy("term", "salt").applyInPandas(
-        lambda pdf: _encode_group(pdf, block_size), RUN_SCHEMA
+    grouped = (
+        salted.repartition(partitions, "term", "salt")
+        .groupBy("term", "salt")
+        .agg(F.sort_array(F.collect_list("p")).alias("pl"))
     )
-    return runs.groupBy("term").applyInPandas(_merge_group, POSTINGS_SCHEMA)
+    runs = grouped.mapInArrow(_encode_arrow_batches(block_size), RUNS_DDL)
+    return (
+        runs.repartition(partitions, "term")
+        .groupBy("term")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    "first_docid", "last_docid", "df", "tf", "body", "blocks_bin"
+                )
+            ).alias("runs")
+        )
+        .mapInPandas(_merge_batches, POSTINGS_SCHEMA)
+    )
 
 
 def build_index(

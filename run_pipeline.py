@@ -1,0 +1,197 @@
+"""spark-submit entrypoint for the full index/query pipeline.
+
+North-rule deployment shape (BASELINE.json): the pipeline runs via
+
+    spark-submit --py-files lshse.zip run_pipeline.py index \
+        --input <docs table/parquet> --out <index dir> [--resume]
+
+    spark-submit --py-files lshse.zip run_pipeline.py search \
+        --index <index dir> --query "spark join" --top-k 10 [--wand]
+
+    spark-submit --py-files lshse.zip run_pipeline.py verify \
+        --input <docs parquet>          # per-row sha256 integrity gate
+
+Build the zip with:  python run_pipeline.py package
+
+On a real cluster, drop the ``--master local[N]`` default by exporting
+SPARK_GRAFT_MASTER (e.g. yarn / k8s://...); every stage is
+checkpoint-resumable (plans.lineage.run_stage) so a killed job rerun
+with --resume skips completed stages.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark(app: str):
+    from large_scale_hypertextual_search_engine_spark.session import get_spark
+
+    master = os.environ.get("SPARK_GRAFT_MASTER")
+    extra = {"spark.master": master} if master else None
+    return get_spark(app_name=app, extra_conf=extra)
+
+
+def _fingerprint(input_path: str, ns: str) -> str:
+    return hashlib.sha256(f"{ns}:{input_path}".encode()).hexdigest()[:16]
+
+
+def cmd_index(args) -> None:
+    from large_scale_hypertextual_search_engine_spark.plans.lineage import (
+        build_and_save_index, record_metrics,
+    )
+    from large_scale_hypertextual_search_engine_spark.sources.corpus import (
+        verify_content_sha,
+    )
+    from pyspark.sql import functions as F
+
+    spark = _spark("lshse-index")
+    docs = spark.read.parquet(args.input)
+    cols = set(docs.columns)
+    if {"repo", "path", "commit", "content"} <= cols:
+        # north-rule input shape: mint docid, enforce sha invariant
+        docs = docs.withColumn(
+            "docid",
+            F.concat_ws("", "repo", F.lit(":"), "path", F.lit("@"), "commit"),
+        )
+        if "content_sha" in cols:
+            bad = verify_content_sha(docs)
+            if bad:
+                raise SystemExit(f"content sha256 mismatch on {bad} rows — aborting")
+    elif {"doc_id", "text"} <= cols:
+        docs = docs.select(
+            F.col("doc_id").cast("string").alias("docid"),
+            F.col("text").alias("content"),
+        )
+    docs = docs.select("docid", "content")
+
+    fp = _fingerprint(args.input, f"{args.mode}:{args.stem}:{args.salt_buckets}")
+    if not args.resume:
+        fp = f"{fp}:{int(time.time())}"  # force full rebuild
+    t0 = time.time()
+    idx = build_and_save_index(
+        docs, args.out, fp, mode=args.mode, stem=args.stem,
+        salt_buckets=args.salt_buckets, block_size=args.block_size,
+    )
+    wall = time.time() - t0
+    n_docs = idx["docid_map"].count()
+    n_terms = idx["lexicon"].count()
+    record_metrics(args.out, fp, [
+        {"stage": "index", "key": "n_docs", "value": n_docs},
+        {"stage": "index", "key": "n_terms", "value": n_terms},
+        {"stage": "index", "key": "wall_s", "value": round(wall, 2)},
+        {"stage": "index", "key": "docs_per_sec", "value": round(n_docs / wall, 1)},
+    ])
+    print(json.dumps({
+        "n_docs": n_docs, "n_terms": n_terms,
+        "wall_s": round(wall, 2), "docs_per_sec": round(n_docs / wall, 1),
+    }))
+    spark.stop()
+
+
+def cmd_search(args) -> None:
+    from large_scale_hypertextual_search_engine_spark.plans.lineage import load_index
+    from large_scale_hypertextual_search_engine_spark.operators.query import search_text
+    from large_scale_hypertextual_search_engine_spark.operators.wand import wand_search
+    from large_scale_hypertextual_search_engine_spark.analysis.tokenizer import (
+        tokenize_compat, tokenize_simple,
+    )
+
+    spark = _spark("lshse-search")
+    idx = load_index(spark, args.index)
+    t0 = time.time()
+    if args.wand:
+        if args.analyzer == "simple":
+            terms = tokenize_simple(args.query)
+        else:
+            terms = [t.term for t in tokenize_compat(args.query, stem=args.stem)]
+        res = wand_search(idx, terms, top_k=args.top_k, tf_mode=args.tf_mode)
+    else:
+        res = search_text(
+            idx, args.query, top_k=args.top_k, mode=args.mode,
+            tf_mode=args.tf_mode, analyzer_mode=args.analyzer, stem=args.stem,
+        )
+    rows = res.collect()
+    wall = time.time() - t0
+    for r in sorted(rows, key=lambda r: r["rank"]):
+        print(f"{r['rank']:3d}  {r['score']:12.6f}  {r['docid']}")
+    print(json.dumps({"latency_ms": round(wall * 1000, 1), "hits": len(rows)}))
+    spark.stop()
+
+
+def cmd_verify(args) -> None:
+    from large_scale_hypertextual_search_engine_spark.sources.corpus import (
+        verify_content_sha,
+    )
+
+    spark = _spark("lshse-verify")
+    docs = spark.read.parquet(args.input)
+    bad = verify_content_sha(docs)
+    print(json.dumps({"rows": docs.count(), "sha_mismatches": bad}))
+    spark.stop()
+    if bad:
+        raise SystemExit(1)
+
+
+def cmd_package(args) -> None:
+    """Zip the package for --py-files."""
+    import zipfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    pkg = "large_scale_hypertextual_search_engine_spark"
+    out = os.path.join(root, "lshse.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, _, files in os.walk(os.path.join(root, pkg)):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, root))
+    print(out)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="run_pipeline.py")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("index", help="build (or resume) the full index")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--mode", default="compat", choices=["compat", "simple"])
+    p.add_argument("--stem", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--salt-buckets", type=int, default=None)
+    p.add_argument("--block-size", type=int, default=128)
+    p.add_argument("--resume", action="store_true",
+                   help="skip stages whose checkpoint fingerprint matches")
+    p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("search", help="BM25 top-k over a saved index")
+    p.add_argument("--index", required=True)
+    p.add_argument("--query", required=True)
+    p.add_argument("--top-k", type=int, default=10)
+    p.add_argument("--mode", default="and", choices=["and", "or"])
+    p.add_argument("--tf-mode", default="true", choices=["true", "compat"])
+    p.add_argument("--analyzer", default="compat", choices=["compat", "simple"])
+    p.add_argument("--stem", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--wand", action="store_true", help="Block-Max WAND path")
+    p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("verify", help="per-row sha256 integrity check")
+    p.add_argument("--input", required=True)
+    p.set_defaults(fn=cmd_verify)
+
+    p = sub.add_parser("package", help="build lshse.zip for --py-files")
+    p.set_defaults(fn=cmd_package)
+
+    args = ap.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
