@@ -195,57 +195,6 @@ def _merge_batches(batches) -> "pd.DataFrame":
         )
 
 
-def _encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
-    """Encode one (term, salt) group into a posting run (phase 1)."""
-    pdf = pdf.sort_values("doc_int")
-    docids = pdf["doc_int"].to_numpy()
-    positions = pdf["positions"].tolist()
-    tfs = np.fromiter((len(p) for p in positions), dtype=np.int64, count=len(positions))
-    flat = np.concatenate(positions) if positions else np.zeros(0, np.int64)
-    dls = pdf["doc_len"].to_numpy() if "doc_len" in pdf.columns else None
-    body, blocks = encode_run(docids, tfs, flat, block_size, dls)
-    return pd.DataFrame(
-        {
-            "term": [pdf["term"].iloc[0]],
-            "salt": [int(pdf["salt"].iloc[0])],
-            "df": [len(docids)],
-            "tf": [int(tfs.sum())],
-            "first_docid": [int(docids[0])],
-            "last_docid": [int(docids[-1])],
-            "body": [body],
-            "blocks": [blocks],
-        }
-    )
-
-
-def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Merge a term's runs in docid order (phase 2) — byte concat."""
-    pdf = pdf.sort_values("first_docid")
-    blob, blocks = merge_runs(
-        [int(x) for x in pdf["first_docid"]],
-        [bytes(b) for b in pdf["body"]],
-        [
-            # array<struct> arrives as a sequence of dicts via Arrow
-            [
-                (d["last_docid"], d["max_tf"], d["min_dl"], d["offset"], d["bytes"])
-                for d in bl
-            ]
-            for bl in pdf["blocks"]
-        ],
-        [int(x) for x in pdf["last_docid"]],
-        int(pdf["df"].sum()),
-    )
-    return pd.DataFrame(
-        {
-            "term": [pdf["term"].iloc[0]],
-            "df": [int(pdf["df"].sum())],
-            "tf": [int(pdf["tf"].sum())],
-            "postings": [blob],
-            "blocks": [blocks],
-        }
-    )
-
-
 def build_postings(
     tokens: DataFrame,
     n_docs: int,

@@ -18,19 +18,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.index_build import RUN_SCHEMA, _encode_group
+from ..operators.index_build import RUNS_DDL, _encode_arrow_batches
 
 
 def _encode_batch_runs(tokens: DataFrame, batch_id: int) -> DataFrame:
-    carry = ["term", "doc_int", "positions"] + (
-        ["doc_len"] if "doc_len" in tokens.columns else []
-    )
+    """Encode one micro-batch into posting runs (salt = batch_id) with
+    the same Arrow kernel as the batch build — a run per (term, batch)."""
+    has_dl = "doc_len" in tokens.columns
     salted = tokens.select(
-        *carry, F.lit(int(batch_id)).cast("int").alias("salt")
+        "term",
+        F.lit(int(batch_id)).cast("int").alias("salt"),
+        F.struct(
+            F.col("doc_int"),
+            F.col("positions"),
+            (F.col("doc_len") if has_dl else F.lit(0)).cast("int").alias("doc_len"),
+        ).alias("p"),
     )
-    return salted.groupBy("term", "salt").applyInPandas(
-        lambda pdf: _encode_group(pdf, 128), RUN_SCHEMA
+    grouped = salted.groupBy("term", "salt").agg(
+        F.sort_array(F.collect_list("p")).alias("pl")
     )
+    return grouped.mapInArrow(_encode_arrow_batches(128), RUNS_DDL)
 
 
 def index_stream(
@@ -94,11 +101,21 @@ def index_stream(
 
 def compact(spark: SparkSession, out_dir: str) -> DataFrame:
     """Merge all delta runs into final per-term posting lists."""
-    from ..operators.index_build import POSTINGS_SCHEMA, _merge_group
+    from ..operators.index_build import POSTINGS_SCHEMA, _merge_batches
 
     d = out_dir.rstrip("/")
     runs = spark.read.parquet(f"{d}/delta_runs")
-    return runs.groupBy("term").applyInPandas(_merge_group, POSTINGS_SCHEMA)
+    return (
+        runs.groupBy("term")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    "first_docid", "last_docid", "df", "tf", "body", "blocks_bin"
+                )
+            ).alias("runs")
+        )
+        .mapInPandas(_merge_batches, POSTINGS_SCHEMA)
+    )
 
 
 def delta_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
