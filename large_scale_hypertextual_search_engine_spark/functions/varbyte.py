@@ -153,6 +153,108 @@ def encode_run(
     return body, blocks
 
 
+def encode_runs_batched(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    flat_pos: np.ndarray,
+    doc_lens: np.ndarray,
+    seg: np.ndarray,
+    block_size: int = 128,
+):
+    """Encode MANY runs in one vectorized pass (no per-run Python loop).
+
+    Inputs are row-major posting arrays sorted by (run, docid); ``seg``
+    (int64, len = n_runs + 1) marks run boundaries. Emits byte-identical
+    bodies/blocks to calling :func:`encode_run` per segment — verified
+    by tests — but the whole chunk shares ONE interleave + ONE
+    ``vb_encode`` + ``np.*.reduceat`` block metadata, so cost is O(total
+    values) numpy work instead of ~200µs of call overhead per run (the
+    dominant cost on Zipf vocabularies where most runs are tiny).
+
+    Returns (bodies: list[bytes], blocks_bins: list[bytes] — int64[n,5]
+    packed rows, firsts, lasts, dfs, tf_sums).
+    """
+    n = int(np.asarray(docids).size)
+    if n == 0:
+        return [], [], np.zeros(0, np.int64), np.zeros(0, np.int64), \
+            np.zeros(0, np.int64), np.zeros(0, np.int64)
+    doc = np.asarray(docids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    flat = np.asarray(flat_pos, dtype=np.int64)
+    dl = np.asarray(doc_lens, dtype=np.int64)
+    seg = np.asarray(seg, dtype=np.int64)
+    seg_starts = seg[:-1]
+    seg_lens = seg[1:] - seg_starts
+
+    pos_cum = np.concatenate(([0], np.cumsum(tfs)))
+    row_pos_start = pos_cum[:-1]
+    total_pos = int(pos_cum[-1])
+
+    # docid deltas, reset to absolute at each run start
+    ds = np.diff(doc, prepend=0)
+    ds[seg_starts] = doc[seg_starts]
+    # position deltas, reset to absolute at each row's first position
+    pdl = np.diff(flat, prepend=0)
+    nz = tfs > 0
+    pdl[row_pos_start[nz]] = flat[row_pos_start[nz]]
+
+    # interleave [delta, tf, pos_deltas...] per row across the chunk
+    out = np.empty(2 * n + total_pos, dtype=np.int64)
+    doc_out = 2 * np.arange(n, dtype=np.int64) + row_pos_start
+    out[doc_out] = ds
+    out[doc_out + 1] = tfs
+    within = np.arange(total_pos, dtype=np.int64) - np.repeat(row_pos_start, tfs)
+    out[np.repeat(doc_out + 2, tfs) + within] = pdl
+
+    buf = vb_encode(out)
+    v = out.astype(_U64)
+    nb = (
+        np.ones(v.size, dtype=np.int64)
+        + (v >= (1 << 7))
+        + (v >= (1 << 14))
+        + (v >= (1 << 21))
+        + (v >= (1 << 28))
+    )
+    byte_ends = np.cumsum(nb)
+    row_byte_start = np.concatenate(([0], byte_ends[doc_out[1:] - 1]))
+    row_byte_end = byte_ends[doc_out + 1 + tfs]
+    seg_byte_start = row_byte_start[seg_starts]
+    seg_byte_end = row_byte_end[seg[1:] - 1]
+    bodies = [
+        buf[a:b] for a, b in zip(seg_byte_start.tolist(), seg_byte_end.tolist())
+    ]
+
+    # block boundaries tile every run's rows in block_size steps
+    nblocks = (seg_lens + block_size - 1) // block_size
+    nblocks = np.maximum(nblocks, 1) * (seg_lens > 0)  # all lens > 0 in practice
+    nb_cum = np.concatenate(([0], np.cumsum(nblocks)))
+    total_blocks = int(nb_cum[-1])
+    block_seg = np.repeat(np.arange(seg_lens.size, dtype=np.int64), nblocks)
+    within_blk = np.arange(total_blocks, dtype=np.int64) - nb_cum[block_seg]
+    block_starts = seg_starts[block_seg] + within_blk * block_size
+    block_ends = np.minimum(block_starts + block_size, seg[1:][block_seg])
+    max_tf = np.maximum.reduceat(tfs, block_starts) if total_blocks else np.zeros(0, np.int64)
+    min_dl = np.minimum.reduceat(dl, block_starts) if total_blocks else np.zeros(0, np.int64)
+    blocks_mat = np.stack(
+        [
+            doc[block_ends - 1],
+            max_tf,
+            min_dl,
+            row_byte_start[block_starts] - seg_byte_start[block_seg],
+            row_byte_end[block_ends - 1] - row_byte_start[block_starts],
+        ],
+        axis=1,
+    ).astype(np.int64)
+    blocks_bins = [
+        blocks_mat[a:b].tobytes() for a, b in zip(nb_cum[:-1].tolist(), nb_cum[1:].tolist())
+    ]
+
+    firsts = doc[seg_starts]
+    lasts = doc[seg[1:] - 1]
+    tf_sums = np.add.reduceat(tfs, seg_starts)
+    return bodies, blocks_bins, firsts, lasts, seg_lens, tf_sums
+
+
 def encode_postings(
     docids: np.ndarray,
     tfs: np.ndarray,

@@ -42,6 +42,10 @@ def assign_dense_ids(
         .sortWithinPartitions(key_col)
         .withColumn("__pid", F.spark_partition_id())
     )
+    # the count pass below materializes `parted`; without persistence every
+    # downstream consumer would redo the range shuffle (and its sampling
+    # job) — on a cluster this would be a checkpoint instead
+    parted = parted.persist()
     counts = {r["__pid"]: r["count"] for r in parted.groupBy("__pid").count().collect()}
     offsets: list = []
     acc = start

@@ -40,7 +40,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.varbyte import encode_run, merge_runs
+from ..functions.varbyte import encode_run, encode_runs_batched, merge_runs
 import numpy as np
 
 BLOCK_SCHEMA = ArrayType(
@@ -110,29 +110,17 @@ def _encode_arrow_batches(block_size: int):
             flat = posl.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
             dls_all = st.field("doc_len").to_numpy(zero_copy_only=False).astype(np.int64)
             bounds = np.concatenate(([0], np.cumsum(lens)))
-            pos_cum = np.concatenate(([0], np.cumsum(tfs_all)))
-            dfs, tfs, firsts, lasts, bodies, blocks_bins = [], [], [], [], [], []
-            for r in range(batch.num_rows):
-                s, e = bounds[r], bounds[r + 1]
-                d = doc[s:e]
-                t = tfs_all[s:e]
-                body, blocks = encode_run(
-                    d, t, flat[pos_cum[s] : pos_cum[e]], block_size, dls_all[s:e]
+            bodies, blocks_bins, firsts, lasts, dfs, tf_sums = (
+                encode_runs_batched(
+                    doc, tfs_all, flat, dls_all, bounds, block_size
                 )
-                dfs.append(e - s)
-                tfs.append(int(t.sum()))
-                firsts.append(int(d[0]))
-                lasts.append(int(d[-1]))
-                bodies.append(body)
-                blocks_bins.append(
-                    np.asarray(blocks, dtype=np.int64).tobytes()
-                )
+            )
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("term"),
                     batch.column("salt"),
                     pa.array(dfs, pa.int64()),
-                    pa.array(tfs, pa.int64()),
+                    pa.array(tf_sums, pa.int64()),
                     pa.array(firsts, pa.int64()),
                     pa.array(lasts, pa.int64()),
                     pa.array(bodies, pa.binary()),
@@ -147,6 +135,109 @@ def _encode_arrow_batches(block_size: int):
     return _encode
 
 
+def _spimi_encode_partition(block_size: int, chunk_rows: int = 4_000_000):
+    """True SPIMI phase 1: encode posting runs per INPUT PARTITION with
+    no shuffle at all (north star: "SPIMI-style per-partition
+    posting-list construction ... followed by a shuffle-by-term merge").
+
+    The kernel accumulates a partition's (term, doc_int, positions,
+    doc_len) rows (bounded by ``chunk_rows`` — a chunk is this
+    partition's SPIMI block), groups by term with an Arrow dictionary
+    encode + ``np.lexsort`` (no Python string handling), and emits one
+    delta+varbyte run per (term, chunk). Only these compressed runs —
+    ~2-4 bytes per posting instead of ~40 for a raw token row — cross
+    the wire in the phase-2 shuffle-by-term, which is what makes the
+    build scale: the raw-token shuffle was the non-scaling IO term.
+
+    Rows for one (doc, term) are atomic (the analyzer pre-aggregates per
+    doc), so chunk boundaries can never split a posting and runs from
+    consecutive chunks are automatically docid-disjoint. Across
+    partitions, disjointness holds when the input is range-partitioned
+    by doc_int (build_index guarantees it); _merge_batches verifies and
+    falls back to a decode-merge for overlapping runs otherwise.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _encode(batches):
+        acc: list = []
+        acc_rows = 0
+        chunk_idx = 0
+
+        def flush():
+            nonlocal acc, acc_rows, chunk_idx
+            if not acc_rows:
+                return None
+            term_arr = pa.concat_arrays([a[0] for a in acc])
+            doc = np.concatenate([a[1] for a in acc])
+            dl = np.concatenate([a[2] for a in acc])
+            tfs = np.concatenate([a[3] for a in acc])
+            flat = np.concatenate([a[4] for a in acc])
+            acc.clear()
+            acc_rows = 0
+            d = pc.dictionary_encode(term_arr)
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = d.dictionary.to_pylist()
+            order = np.lexsort((doc, codes))
+            codes_s = codes[order]
+            doc_s = doc[order]
+            dl_s = dl[order]
+            tfs_s = tfs[order]
+            # gather each row's positions slice under the permutation
+            pos_start = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+            within = np.arange(int(tfs_s.sum()), dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(tfs_s)))[:-1], tfs_s
+            )
+            flat_s = flat[np.repeat(pos_start[order], tfs_s) + within]
+            seg = np.concatenate(
+                ([0], np.flatnonzero(np.diff(codes_s)) + 1, [codes_s.size])
+            )
+            bodies, blocks_bins, firsts, lasts, dfs, tf_sums = (
+                encode_runs_batched(doc_s, tfs_s, flat_s, dl_s, seg, block_size)
+            )
+            terms = [vocab[int(c)] for c in codes_s[seg[:-1]]]
+            ci = chunk_idx
+            chunk_idx += 1
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(terms, pa.string()),
+                    pa.array([ci] * len(terms), pa.int32()),
+                    pa.array(dfs, pa.int64()),
+                    pa.array(tf_sums, pa.int64()),
+                    pa.array(firsts, pa.int64()),
+                    pa.array(lasts, pa.int64()),
+                    pa.array(bodies, pa.binary()),
+                    pa.array(blocks_bins, pa.binary()),
+                ],
+                names=[
+                    "term", "salt", "df", "tf",
+                    "first_docid", "last_docid", "body", "blocks_bin",
+                ],
+            )
+
+        for batch in batches:
+            posl = batch.column("positions")
+            acc.append(
+                (
+                    batch.column("term"),
+                    batch.column("doc_int").to_numpy(zero_copy_only=False).astype(np.int64),
+                    batch.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int64),
+                    pc.list_value_length(posl).to_numpy().astype(np.int64),
+                    posl.flatten().to_numpy(zero_copy_only=False).astype(np.int64),
+                )
+            )
+            acc_rows += batch.num_rows
+            if acc_rows >= chunk_rows:
+                rb = flush()
+                if rb is not None:
+                    yield rb
+        rb = flush()
+        if rb is not None:
+            yield rb
+
+    return _encode
+
+
 def _unpack_blocks(blocks_bin: bytes, head: int = 0):
     bb = np.frombuffer(bytes(blocks_bin), dtype=np.int64).reshape(-1, 5)
     return [
@@ -155,22 +246,54 @@ def _unpack_blocks(blocks_bin: bytes, head: int = 0):
     ]
 
 
+def _merge_overlapping(runs: list, block_size: int = 128):
+    """Rare path: runs whose docid ranges overlap (input wasn't
+    range-partitioned by doc_int) — full decode, re-sort, re-encode."""
+    from ..functions.varbyte import encode_postings
+
+    parts = [decode_postings_body(bytes(r["body"]), int(r["df"])) for r in runs]
+    doc = np.concatenate([p[0] for p in parts])
+    tfs = np.concatenate([p[1] for p in parts])
+    flat = np.concatenate([p[2] for p in parts])
+    order = np.argsort(doc, kind="stable")
+    pos_start = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+    within = np.arange(int(tfs.sum()), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(tfs[order])))[:-1], tfs[order]
+    )
+    flat_s = flat[np.repeat(pos_start[order], tfs[order]) + within]
+    return encode_postings(doc[order], tfs[order], flat_s, block_size)
+
+
+def decode_postings_body(body: bytes, n_docs: int):
+    """Decode a count-prefix-less run body to (docids, tfs, flat_pos)."""
+    from ..functions.varbyte import vb_encode, decode_postings
+
+    return decode_postings(bytes(vb_encode(np.array([n_docs]))) + body)
+
+
 def _merge_batches(batches) -> "pd.DataFrame":
     """Phase-2 merge: one input row per term carrying its runs
     (array<struct>). Most terms have a single run -> count-prefix
-    prepend only; salted skew terms get the ordered byte-concat merge."""
+    prepend only; multi-run terms (SPIMI chunks / salted skew runs) get
+    the ordered byte-concat merge; overlapping ranges fall back to a
+    decode-merge (callers that didn't range-partition by doc_int)."""
     from ..functions.varbyte import vb_encode
 
     for pdf in batches:
         terms, dfs, tfs, blobs, blockss = [], [], [], [], []
         for term, runs in zip(pdf["term"], pdf["runs"]):
-            runs = sorted(runs, key=lambda r: r["first_docid"])
+            runs = sorted(runs, key=lambda r: (r["first_docid"], r["last_docid"]))
             total_df = int(sum(r["df"] for r in runs))
             if len(runs) == 1:
                 r = runs[0]
                 head = vb_encode(np.array([total_df]))
                 blob = bytes(head) + bytes(r["body"])
                 blocks = _unpack_blocks(r["blocks_bin"], len(head))
+            elif any(
+                runs[i]["last_docid"] >= runs[i + 1]["first_docid"]
+                for i in range(len(runs) - 1)
+            ):
+                blob, blocks = _merge_overlapping(runs)
             else:
                 blob, blocks = merge_runs(
                     [int(r["first_docid"]) for r in runs],
@@ -203,46 +326,79 @@ def build_postings(
     salt_buckets: int | None = None,
     docs_per_salt: int = 250_000,
     partitions: int | None = None,
+    strategy: str = "salted",
+    chunk_rows: int = 4_000_000,
 ) -> DataFrame:
     """(doc_int, term, positions) -> postings(term, df, tf, postings, blocks).
 
-    ``salt_buckets`` > 1 forces the two-phase skew merge; ``None`` sizes
-    it from corpus cardinality (~``docs_per_salt`` docs per salt range,
-    so a df~N stopword's partial encode handles a bounded slice).
+    Two strategies, byte-identical output (asserted in tests):
 
-    Physical shape: the SPIMI partial agg + k-way merge is ONE JVM hash
-    aggregate per phase (``groupBy().agg(sort_array(collect_list))`` —
-    map-side partial aggregation included), followed by an Arrow-batch
-    encode kernel. Partition counts are pinned explicitly (AQE would
-    coalesce a small shuffle to 1 task and serialize the Python encode,
-    which it can't cost-model; at 100 TB the explicit ``repartition``
-    by the grouping key is what we'd want anyway — the encode stage
-    reuses the agg's partitioning, no extra exchange).
+    * ``"salted"`` (default — measured faster on single-node/local
+      where shuffle runs at RAM speed): shuffle tokens by (term,
+      docid-range salt), JVM hash-aggregate the groups, encode per
+      group with the batched Arrow kernel, merge runs per term.
+      ``salt_buckets`` sizes the salt (``None`` -> ~``docs_per_salt``
+      docs per range) so a df~N stopword is encoded in bounded slices.
+    * ``"spimi"`` (the cluster-scale path): textbook SPIMI — phase 1 is
+      a NARROW per-partition encode (_spimi_encode_partition) with no
+      shuffle of raw tokens at all; the only wide exchange in the build
+      is the phase-2 groupBy(term) over compressed runs (~2-4
+      bytes/posting instead of ~40/raw token row, i.e. ~15-20x less
+      shuffle volume). On a real cluster, where the token shuffle is
+      network/disk-bound, this is the strategy to run; on this
+      single-node sandbox the JVM shuffle outruns the extra Python
+      regroup pass (A/B in BENCH/BASELINE.md), hence not the default.
+      Skew is a non-issue by construction — a df~N term contributes one
+      bounded run per partition chunk, merged by ordered byte concat.
+      Requires docid-range-disjoint partitions for the cheap merge;
+      other layouts still produce correct output via the decode-merge
+      fallback in _merge_batches.
+
+    Partition counts for the salted exchanges are pinned explicitly
+    (AQE would coalesce a small shuffle to 1 task and serialize the
+    Python encode, which it can't cost-model).
     """
-    if salt_buckets is None:
-        salt_buckets = max(1, math.ceil(n_docs / docs_per_salt))
     if partitions is None:
         partitions = int(
             tokens.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-
-    span = max(1, math.ceil(n_docs / salt_buckets))
     has_dl = "doc_len" in tokens.columns
-    salted = tokens.select(
-        "term",
-        ((F.col("doc_int") - 1) / F.lit(span)).cast("int").alias("salt"),
-        F.struct(
-            F.col("doc_int"),
-            F.col("positions"),
-            (F.col("doc_len") if has_dl else F.lit(0)).cast("int").alias("doc_len"),
-        ).alias("p"),
-    )
-    grouped = (
-        salted.repartition(partitions, "term", "salt")
-        .groupBy("term", "salt")
-        .agg(F.sort_array(F.collect_list("p")).alias("pl"))
-    )
-    runs = grouped.mapInArrow(_encode_arrow_batches(block_size), RUNS_DDL)
+    dl_col = (F.col("doc_len") if has_dl else F.lit(0)).cast("long").alias("doc_len")
+
+    if strategy == "spimi":
+        # coalesce to ~half the shuffle partitions (= cores locally): runs
+        # per term scale with partition count, and the phase-2 merge cost
+        # scales with total runs. coalesce merges ADJACENT partitions, so
+        # docid-range disjointness is preserved; chunk_rows still bounds
+        # kernel memory.
+        src = tokens.select(
+            "term", F.col("doc_int").cast("long"), "positions", dl_col
+        )
+        target = max(1, partitions // 2)
+        if src.rdd.getNumPartitions() > target:
+            src = src.coalesce(target)
+        runs = src.mapInArrow(
+            _spimi_encode_partition(block_size, chunk_rows), RUNS_DDL
+        )
+    else:
+        if salt_buckets is None:
+            salt_buckets = max(1, math.ceil(n_docs / docs_per_salt))
+        span = max(1, math.ceil(n_docs / salt_buckets))
+        salted = tokens.select(
+            "term",
+            ((F.col("doc_int") - 1) / F.lit(span)).cast("int").alias("salt"),
+            F.struct(
+                F.col("doc_int"),
+                F.col("positions"),
+                (F.col("doc_len") if has_dl else F.lit(0)).cast("int").alias("doc_len"),
+            ).alias("p"),
+        )
+        grouped = (
+            salted.repartition(partitions, "term", "salt")
+            .groupBy("term", "salt")
+            .agg(F.sort_array(F.collect_list("p")).alias("pl"))
+        )
+        runs = grouped.mapInArrow(_encode_arrow_batches(block_size), RUNS_DDL)
     return (
         runs.repartition(partitions, "term")
         .groupBy("term")
@@ -271,6 +427,7 @@ def build_index(
     docs_per_salt: int = 250_000,
     n_buckets: int = 10,
     with_forward_index: bool = False,
+    strategy: str = "salted",
 ) -> dict[str, DataFrame]:
     """Full index build. Returns the engine tables as DataFrames.
 
@@ -295,7 +452,9 @@ def build_index(
     # explode_outer keeps zero-token docs (doc_len = 0) in doc_stats
     doc_stats = tokens_all.select(id_col, "doc_int", "doc_len").distinct()
     docid_map = docs_ids.select(id_col, "doc_int")
-    n_docs = docid_map.count()
+    # docids are unique, so the source count IS the doc count — counting
+    # docid_map here would recompute the id-minting chain a second time
+    n_docs = docs.count()
 
     # avg_dl divides by TOTAL docs even if some lengths are missing
     # (reference quirk Q9, Query-engine.hpp:256-263)
@@ -310,6 +469,7 @@ def build_index(
         block_size=block_size,
         salt_buckets=salt_buckets,
         docs_per_salt=docs_per_salt,
+        strategy=strategy,
     )
 
     lexicon = assign_dense_ids(

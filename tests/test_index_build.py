@@ -121,3 +121,39 @@ def test_lexicon_ids_dense_and_sorted(sf0001_index):
     assert terms == sorted(terms)
     assert [r["term_id"] for r in lex] == list(range(1, len(lex) + 1))
     assert all(0 <= r["bucket_id"] < 10 for r in lex)
+
+
+def test_strategy_parity_spimi_vs_salted(spark):
+    """Both build strategies must emit byte-identical posting blobs —
+    including on input that is NOT range-partitioned by doc_int (the
+    SPIMI merge then takes the decode-merge fallback)."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("cast(doc_id as string) as docid", "text as content")
+        .limit(200)
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.index_build import (
+        _tokenize_keep_int,
+    )
+
+    ids = assign_dense_ids(docs, "docid", "doc_int")
+    toks = (
+        _tokenize_keep_int(ids, "content", "docid", "simple", False, None, False)
+        .filter(F.col("term").isNotNull())
+        .select("term", "doc_int", "positions", "doc_len")
+        .cache()
+    )
+    n = ids.count()
+
+    def blobs(df, **kw):
+        return {
+            r["term"]: (r["df"], r["tf"], bytes(r["postings"]))
+            for r in build_postings(df, n, **kw).collect()
+        }
+
+    a = blobs(toks, strategy="salted", salt_buckets=3)
+    b = blobs(toks, strategy="spimi", chunk_rows=2000)
+    assert a == b
+    # round-robin repartition destroys docid-range disjointness
+    c = blobs(toks.repartition(7), strategy="spimi", chunk_rows=2000)
+    assert a == c
