@@ -22,6 +22,10 @@ Methodology notes (all enforced below):
   planning, job scheduling, python-worker startup are ~14s regardless
   of level; at the default 150k docs they are <6% of the N-level
   build). Override with SCALING_DOCS.
+* **Best of SCALING_REPS runs per level** — this VM exhibits
+  multi-second hypervisor stalls (the same numpy op measures 6ms or
+  2.3s run-to-run), so a single sample is a dice roll; peak throughput
+  per level is the stable estimator.
 
 The measured jobs are the engine core: (1) analyze + salted two-phase
 postings build + write over a deterministically generated synthetic
@@ -40,6 +44,7 @@ import sys
 N_DOCS = int(os.environ.get("SCALING_DOCS", "150000"))
 N_BASE = int(os.environ.get("SCALING_N", "4"))
 N_QUERIES = int(os.environ.get("SCALING_QUERIES", "256"))
+N_REPS = int(os.environ.get("SCALING_REPS", "2"))
 
 _LEVEL_CODE = """
 import json, os, sys, time
@@ -119,9 +124,25 @@ def run_at(cores: int) -> dict:
     )
 
 
+def run_best(cores: int) -> dict:
+    """Best-of-N_REPS: per-metric peak throughput (see module doc)."""
+    runs = [run_at(cores) for _ in range(N_REPS)]
+    best = dict(runs[0])
+    for r in runs[1:]:
+        if r["index_docs_per_sec"] > best["index_docs_per_sec"]:
+            best.update({k: r[k] for k in ("index_build_sec", "index_docs_per_sec")})
+        if r["bm25_qps"] > best["bm25_qps"]:
+            best.update({k: r[k] for k in ("query_batch_sec", "bm25_qps")})
+    best["reps"] = [
+        {"index_docs_per_sec": r["index_docs_per_sec"], "bm25_qps": r["bm25_qps"]}
+        for r in runs
+    ]
+    return best
+
+
 def main() -> None:
-    rn = run_at(N_BASE)
-    r4n = run_at(4 * N_BASE)
+    rn = run_best(N_BASE)
+    r4n = run_best(4 * N_BASE)
     eff_index = r4n["index_docs_per_sec"] / (4 * rn["index_docs_per_sec"])
     eff_query = r4n["bm25_qps"] / (4 * rn["bm25_qps"])
     out = {
