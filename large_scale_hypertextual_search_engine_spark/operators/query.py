@@ -51,11 +51,21 @@ def decode_postings_df(postings: DataFrame, terms: list[str] | None = None) -> D
     if terms is not None:
         src = src.filter(F.col("term").isin(list(terms)))
 
+    has_blocks = "blocks" in postings.columns
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_term, out_df, out_doc, out_tf = [], [], [], []
-            for term, df_, blob in zip(pdf["term"], pdf["df"], pdf["postings"]):
-                docids, tfs = decode_postings_fast(bytes(blob))
+            blockss = pdf["blocks"] if has_blocks else [None] * len(pdf)
+            for term, df_, blob, blocks in zip(
+                pdf["term"], pdf["df"], pdf["postings"], blockss
+            ):
+                offs = (
+                    np.array([b["offset"] for b in blocks], dtype=np.int64)
+                    if blocks is not None
+                    else None
+                )
+                docids, tfs = decode_postings_fast(bytes(blob), offs)
                 out_term.append(np.repeat(term, docids.size))
                 out_df.append(np.repeat(df_, docids.size))
                 out_doc.append(docids)
@@ -74,7 +84,8 @@ def decode_postings_df(postings: DataFrame, terms: list[str] | None = None) -> D
                 }
             )
 
-    return src.select("term", "df", "postings").mapInPandas(_decode, DECODED_SCHEMA)
+    cols = ["term", "df", "postings"] + (["blocks"] if has_blocks else [])
+    return src.select(*cols).mapInPandas(_decode, DECODED_SCHEMA)
 
 
 def _stats(index: dict[str, DataFrame]) -> tuple[int, float]:
@@ -133,12 +144,18 @@ def search_batch(
         F.count("*").alias("n_matched"),
     )
     if mode == "and":
-        # intersect only terms present in the index (per query)
+        # intersect only terms present in the index (per query). Terms
+        # present = a term-pruned scan of the postings table's term
+        # column (tiny; parquet prunes both files and the blob column) —
+        # NOT an agg over the decoded candidate frame, which would run
+        # the decode kernel a second time and shuffle df~N rows.
+        present = index["postings"].select("term").filter(
+            F.col("term").isin([t for t in terms])
+        )
         n_found = (
-            scored.select("query_id", "term")
-            .distinct()
+            queries.join(F.broadcast(present), "term")
             .groupBy("query_id")
-            .agg(F.count("*").alias("n_found"))
+            .agg(F.countDistinct("term").alias("n_found"))
         )
         per_doc = per_doc.join(F.broadcast(n_found), "query_id").filter(
             F.col("n_matched") == F.col("n_found")

@@ -103,3 +103,55 @@ def test_block_metadata_spans_decode():
     # byte spans tile the body exactly
     total = sum(b[4] for b in blocks)
     assert blocks[0][3] + total == len(blob)
+
+
+def test_block_assisted_decode_matches_loop():
+    """Vectorized (block-offset-assisted) decode == sequential walk for
+    random Zipf-ish blobs, both the fast (docids, tfs) and full decode."""
+    from large_scale_hypertextual_search_engine_spark.functions.varbyte import (
+        decode_postings_fast,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(1, 700))
+        docids = np.cumsum(rng.integers(1, 50, size=n))
+        tfs = rng.integers(1, 6, size=n).astype(np.int64)
+        if trial % 3 == 0:
+            tfs[rng.integers(0, n, size=max(1, n // 5))] = 1
+        flat = np.concatenate(
+            [np.cumsum(rng.integers(1, 9, size=int(t))) for t in tfs]
+        )
+        bs = int(rng.choice([4, 16, 128, 1024]))
+        blob, blocks = encode_postings(docids, tfs, flat, block_size=bs)
+        offs = np.array([b[3] for b in blocks], dtype=np.int64)
+        d1, t1 = decode_postings_fast(blob)            # loop fallback
+        d2, t2 = decode_postings_fast(blob, offs)      # lockstep walk
+        assert (d1 == docids).all() and (d2 == docids).all()
+        assert (t1 == tfs).all() and (t2 == tfs).all()
+        fd, ft, fp = decode_postings(blob, offs)
+        assert (fd == docids).all() and (ft == tfs).all() and (fp == flat).all()
+
+
+def test_block_assisted_decode_bad_offsets_falls_back():
+    from large_scale_hypertextual_search_engine_spark.functions.varbyte import (
+        decode_postings_fast,
+    )
+
+    docids = np.arange(1, 301)
+    tfs = np.full(300, 1)
+    blob, _ = encode_postings(docids, tfs, docids, block_size=64)
+    # offsets that are not group boundaries -> safe fallback, same answer
+    d, t = decode_postings_fast(blob, np.array([3, 999999]))
+    assert (d == docids).all() and (t == tfs).all()
+
+
+def test_vb_encode_rejects_oversized_values():
+    import pytest as _pytest
+    from large_scale_hypertextual_search_engine_spark.functions.varbyte import (
+        vb_encode,
+    )
+
+    with _pytest.raises(ValueError):
+        vb_encode(np.array([1 << 35]))
+    assert vb_encode(np.array([(1 << 35) - 1]))  # boundary ok
