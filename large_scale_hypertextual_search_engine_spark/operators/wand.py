@@ -16,15 +16,23 @@ only min_dl drives the bound. A skipped block can only contain scores
 tiebreak to already-kept earlier docids, so skipping preserves exact
 rank-identity.
 
-Sharding: a query's term rows are grouped into ONE kernel task here
-(single-shard layout). With run-sharded postings (the extreme-scale
-layout in operators.index_build), the same kernel runs per docid-range
-shard with the co-partitioned doc_stats slice, and per-shard top-k
-merge under a shared threshold — noted for the cluster deployment; the
-kernel is shard-agnostic.
+Sharding (the scale path): posting blobs are sliced into docid-range
+shards AT QUERY TIME using the block metadata alone — a shard's
+sub-blob is a contiguous byte slice of whole blocks (blocks tile the
+body), standalone-decodable given the previous block's last docid as
+the delta base. Doc lengths reach each shard's kernel through a
+COGROUP on the same docid-range key (``doc_stats`` slice co-partitioned
+with the posting slices), so no node ever holds more than one shard's
+doc lengths: there is no driver-side collect, no dense
+``n_docs``-sized broadcast, and no single-task bottleneck — the three
+round-1 scale-killers. Every doc is scored in exactly its home shard
+(straddling blocks are decoded in at most two shards but their docs
+are range-filtered), so per-shard top-k + global top-k merge is
+rank-identical to the exact path.
 
 Rank-identity with the exact DataFrame path is asserted in
-tests/test_wand.py for every fixture query in both tf modes.
+tests/test_wand.py for every fixture query in both tf modes, single-
+and multi-shard.
 """
 
 from __future__ import annotations
@@ -54,7 +62,7 @@ class _TermCursor:
     )
 
     def __init__(self, idf: float, blob: bytes, blocks, tf_mode: str,
-                 k1: float, b: float, avg_dl: float):
+                 k1: float, b: float, avg_dl: float, base: int = 0):
         self.idf = idf
         self.blob = blob
         self.blocks = blocks  # [(last_docid, max_tf, min_dl, offset, bytes)]
@@ -71,7 +79,10 @@ class _TermCursor:
 
         self.block_ubs = [bound(b_[1], b_[2]) for b_ in blocks]
         self.ub = max(self.block_ubs) if self.block_ubs else 0.0
-        self.block_bases = [0] + [b_[0] for b_ in blocks[:-1]]
+        # `base` is the docid the first block's delta is relative to —
+        # 0 for a whole blob, the preceding block's last_docid for a
+        # shard slice (operators.wand module doc: query-time sharding)
+        self.block_bases = [base] + [b_[0] for b_ in blocks[:-1]]
         self._advance_block()
 
     def _decode_block(self, bi: int) -> None:
@@ -145,7 +156,7 @@ class _TermCursor:
 
 
 def wand_topk_kernel(
-    term_rows: list[tuple[float, bytes, list]],
+    term_rows: list[tuple],
     doc_len: np.ndarray,
     n_docs: int,
     avg_dl: float,
@@ -153,25 +164,36 @@ def wand_topk_kernel(
     tf_mode: str = "true",
     k1: float = K1,
     b: float = B,
+    doc_lo: int = 0,
+    doc_hi: int | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k (OR semantics) via Block-Max WAND.
 
-    term_rows: (idf, blob, blocks) per query term; doc_len is indexed by
-    doc_int (doc_len[0] unused). Returns [(doc_int, score)] sorted by
-    (score desc, doc_int asc) — rank-identical to the exact path.
+    term_rows: (idf, blob, blocks[, base]) per query term; doc_len is
+    indexed by ``doc_int - doc_lo`` (whole-collection callers pass
+    doc_lo=0 with doc_len[0] unused). Only docs in [doc_lo or 1,
+    doc_hi) are scored — shard slices may carry straddling blocks whose
+    out-of-range docs belong to a neighboring shard. Returns
+    [(doc_int, score)] sorted by (score desc, doc_int asc) —
+    rank-identical to the exact path.
     """
     cursors = [
-        _TermCursor(idf, blob, blocks, tf_mode, k1, b, avg_dl)
-        for idf, blob, blocks in term_rows
-        if blocks
+        _TermCursor(row[0], row[1], row[2], tf_mode, k1, b, avg_dl,
+                    base=row[3] if len(row) > 3 else 0)
+        for row in term_rows
+        if row[2]
     ]
+    if doc_lo > 0:
+        for c in cursors:
+            c.next_geq(doc_lo)
     cursors = [c for c in cursors if c.cur_doc >= 0]
     heap: list[tuple[float, int]] = []  # (score, -doc_int) min-heap
     theta = 0.0
     fb = 1.0 - b
+    hi = doc_hi if doc_hi is not None else 1 << 62
 
     while True:
-        cursors = [c for c in cursors if c.cur_doc >= 0]
+        cursors = [c for c in cursors if 0 <= c.cur_doc < hi]
         if not cursors:
             break
         cursors.sort(key=lambda c: c.cur_doc)
@@ -217,7 +239,7 @@ def wand_topk_kernel(
             continue
         if cursors[0].cur_doc == pivot_doc:
             # all leaders aligned on pivot -> score it
-            dl = float(doc_len[pivot_doc])
+            dl = float(doc_len[pivot_doc - doc_lo])
             norm = k1 * (fb + b * (dl / avg_dl))
             parts = []
             for c in cursors:
@@ -258,6 +280,72 @@ WAND_SCHEMA = StructType(
 )
 
 
+_SHARD_ROWS_DDL = (
+    "shard int, df long, base long, postings binary, "
+    "blocks array<struct<last_docid:long,max_tf:int,min_dl:int,"
+    "offset:int,bytes:int>>"
+)
+
+
+def _explode_to_shards(span: int):
+    """Slice each term's blob into per-docid-range shard sub-blobs.
+
+    Pure metadata surgery — no decode: block ``i`` covers docids in
+    ``(last[i-1], last[i]]``, blocks tile the body, so a shard's slice
+    is ``blob[offset[i0] : offset[i1-1]+bytes[i1-1]]`` with offsets
+    rebased and ``base = last[i0-1]`` as the first delta's origin.
+    Straddling blocks are shipped to every shard they overlap; the
+    kernel range-filters scored docs so each doc scores exactly once.
+    """
+
+    def _explode(pdfs):
+        for pdf in pdfs:
+            o_shard, o_df, o_base, o_blob, o_blocks = [], [], [], [], []
+            for df_, blob, blocks in zip(pdf["df"], pdf["postings"], pdf["blocks"]):
+                blob = bytes(blob)
+                lasts = np.array([d["last_docid"] for d in blocks], dtype=np.int64)
+                offs = np.array([d["offset"] for d in blocks], dtype=np.int64)
+                nbs = np.array([d["bytes"] for d in blocks], dtype=np.int64)
+                mts = [int(d["max_tf"]) for d in blocks]
+                mds = [int(d["min_dl"]) for d in blocks]
+                bases = np.concatenate(([0], lasts[:-1]))
+                s_first = int(bases[0]) // span  # first doc > bases[0]
+                s_last = int(lasts[-1] - 1) // span
+                for s in range(s_first, s_last + 1):
+                    lo, hi = s * span + 1, (s + 1) * span + 1
+                    i0 = int(np.searchsorted(lasts, lo, side="left"))
+                    i1 = int(np.searchsorted(bases, hi - 1, side="left"))
+                    if i0 >= i1:
+                        continue
+                    o_shard.append(s)
+                    o_df.append(int(df_))
+                    o_base.append(int(bases[i0]))
+                    o_blob.append(blob[offs[i0] : offs[i1 - 1] + nbs[i1 - 1]])
+                    o_blocks.append(
+                        [
+                            {
+                                "last_docid": int(lasts[i]),
+                                "max_tf": mts[i],
+                                "min_dl": mds[i],
+                                "offset": int(offs[i] - offs[i0]),
+                                "bytes": int(nbs[i]),
+                            }
+                            for i in range(i0, i1)
+                        ]
+                    )
+            yield pd.DataFrame(
+                {
+                    "shard": pd.array(o_shard, dtype="int32"),
+                    "df": pd.array(o_df, dtype="int64"),
+                    "base": pd.array(o_base, dtype="int64"),
+                    "postings": o_blob,
+                    "blocks": o_blocks,
+                }
+            )
+
+    return _explode
+
+
 def wand_search(
     index: dict[str, DataFrame],
     terms: list[str],
@@ -265,57 +353,86 @@ def wand_search(
     tf_mode: str = "true",
     k1: float = K1,
     b: float = B,
+    n_shards: int | None = None,
+    docs_per_shard: int = 4_000_000,
 ) -> DataFrame:
-    """Distributed entry: ship the query terms' posting rows to one
-    kernel task (per shard at scale), score with BMW, join docid_map.
+    """Distributed Block-Max WAND: one kernel task per docid-range shard.
 
-    doc lengths ride as a broadcast numpy array (dense doc_int index);
-    on the run-sharded layout each shard gets only its range slice.
+    The query terms' posting rows (a term-pruned scan) are block-sliced
+    into per-shard sub-blobs (:func:`_explode_to_shards`), cogrouped
+    with the co-partitioned ``doc_stats`` slice for the same docid
+    range, scored shard-locally, and merged with a global top-k. No
+    driver-side doc-length collect, no dense broadcast, no single-task
+    stage: per-task memory is bounded by ``docs_per_shard`` regardless
+    of collection size.
     """
     from .query import _stats
 
-    spark = index["postings"].sparkSession
     n_docs, avg_dl = _stats(index)
-    dl_rows = index["doc_stats"].select("doc_int", "doc_len").collect()
-    doc_len = np.full(n_docs + 1, float(int(avg_dl)), dtype=np.float64)
-    for r in dl_rows:
-        doc_len[r["doc_int"]] = r["doc_len"]
-    bc = spark.sparkContext.broadcast(doc_len)
+    if n_docs == 0:
+        spark = index["postings"].sparkSession
+        return spark.createDataFrame(
+            [], "rank int, doc_int long, docid string, score double"
+        )
+    if n_shards is None:
+        n_shards = max(1, -(-n_docs // docs_per_shard))
+    span = -(-n_docs // n_shards)
+    dl_default = float(int(avg_dl))  # floor fallback, reference quirk Q8
 
     uniq = list(dict.fromkeys(terms))
     rows = index["postings"].filter(F.col("term").isin(uniq)).select(
         "df", "postings", "blocks"
     )
+    shard_rows = rows.mapInPandas(_explode_to_shards(span), _SHARD_ROWS_DDL)
+    ds = index["doc_stats"].select(
+        ((F.col("doc_int") - 1) / F.lit(span)).cast("int").alias("shard"),
+        "doc_int",
+        "doc_len",
+    )
 
-    def _run(pdfs):
-        batches = list(pdfs)
-        term_rows = []
-        for pdf in batches:
-            for df_, blob, blocks in zip(pdf["df"], pdf["postings"], pdf["blocks"]):
-                idf = float(np.log((n_docs - int(df_) + 0.5) / (int(df_) + 0.5) + 1.0))
-                bl = [
-                    (d["last_docid"], d["max_tf"], d["min_dl"], d["offset"], d["bytes"])
-                    for d in blocks
-                ]
-                term_rows.append((idf, bytes(blob), bl))
-        if not term_rows:
-            yield pd.DataFrame({"doc_int": [], "score": []}).astype(
+    def _kernel(key, p_pdf: pd.DataFrame, d_pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        lo, hi = shard * span + 1, (shard + 1) * span + 1
+        if len(p_pdf) == 0:
+            return pd.DataFrame({"doc_int": [], "score": []}).astype(
                 {"doc_int": "int64", "score": "float64"}
             )
-            return
+        doc_len = np.full(span + 1, dl_default, dtype=np.float64)
+        if len(d_pdf):
+            doc_len[d_pdf["doc_int"].to_numpy() - lo] = d_pdf["doc_len"].to_numpy()
+        term_rows = []
+        for df_, base, blob, blocks in zip(
+            p_pdf["df"], p_pdf["base"], p_pdf["postings"], p_pdf["blocks"]
+        ):
+            idf = float(np.log((n_docs - int(df_) + 0.5) / (int(df_) + 0.5) + 1.0))
+            bl = [
+                (d["last_docid"], d["max_tf"], d["min_dl"], d["offset"], d["bytes"])
+                for d in blocks
+            ]
+            term_rows.append((idf, bytes(blob), bl, int(base)))
         res = wand_topk_kernel(
-            term_rows, bc.value, n_docs, avg_dl, top_k, tf_mode, k1, b
+            term_rows, doc_len, n_docs, avg_dl, top_k, tf_mode, k1, b,
+            doc_lo=lo, doc_hi=hi,
         )
-        yield pd.DataFrame(
+        return pd.DataFrame(
             {"doc_int": [d for d, _ in res], "score": [s for _, s in res]}
         )
 
-    topk = rows.coalesce(1).mapInPandas(_run, WAND_SCHEMA)
+    topk = (
+        shard_rows.groupby("shard")
+        .cogroup(ds.groupby("shard"))
+        .applyInPandas(_kernel, WAND_SCHEMA)
+    )
     from pyspark.sql import Window
 
+    # global merge over n_shards * top_k rows — tiny by construction
     w = Window.orderBy(F.desc("score"), F.asc("doc_int"))
     return (
-        F.broadcast(topk.withColumn("rank", F.row_number().over(w)))
+        F.broadcast(
+            topk.withColumn("rank", F.row_number().over(w)).filter(
+                F.col("rank") <= top_k
+            )
+        )
         .join(index["docid_map"], "doc_int")
         .select("rank", "doc_int", "docid", "score")
     )

@@ -39,13 +39,21 @@ QUERIES = [
 
 @pytest.mark.parametrize("terms", QUERIES)
 @pytest.mark.parametrize("tf_mode", ["true", "compat"])
-def test_wand_matches_exact(spark, idx, terms, tf_mode):
+@pytest.mark.parametrize("n_shards", [1, 4])
+def test_wand_matches_exact(spark, idx, terms, tf_mode, n_shards):
+    """Rank-identity exact vs WAND, single-shard and multi-shard (500
+    docs / 4 shards = 125-doc ranges vs 16-doc blocks -> straddling
+    blocks and cross-shard merge are exercised)."""
     exact = (
         search(idx, terms, top_k=10, mode="or", tf_mode=tf_mode)
         .orderBy("rank")
         .collect()
     )
-    got = wand_search(idx, terms, top_k=10, tf_mode=tf_mode).orderBy("rank").collect()
+    got = (
+        wand_search(idx, terms, top_k=10, tf_mode=tf_mode, n_shards=n_shards)
+        .orderBy("rank")
+        .collect()
+    )
     assert [r["docid"] for r in got] == [r["docid"] for r in exact]
     for g, e in zip(got, exact):
         assert g["score"] == pytest.approx(e["score"], rel=1e-9)
