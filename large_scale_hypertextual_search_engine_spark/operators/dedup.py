@@ -29,6 +29,42 @@ from .textstats import hash_token
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+def _modmul61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """(a * h) mod (2^61 - 1) with full 128-bit precision, in uint64.
+
+    numpy uint64 multiply wraps mod 2^64, which silently breaks the
+    universal-hash guarantee (round-1 finding). Split a = a_hi*2^32 +
+    a_lo, reduce each partial product with the Mersenne identity
+    2^61 ≡ 1 (mod p): for x < 2^64, x mod p = (x >> 61) + (x & p),
+    folded once more to land in [0, p).
+    Inputs must already be < p (31 bits of headroom per partial).
+    """
+    p = _MERSENNE
+
+    def fold(x: np.ndarray) -> np.ndarray:
+        x = (x >> np.uint64(61)) + (x & p)
+        return np.where(x >= p, x - p, x)
+
+    a_hi = a >> np.uint64(32)
+    a_lo = a & np.uint64(0xFFFFFFFF)
+    # a_hi * h < 2^29 * 2^61: overflows, so reduce h*a_hi in two steps:
+    # (a_hi * h) * 2^32 mod p = fold(a_hi * fold-able pieces). Use
+    # (a_hi * h_hi) * 2^64 + mixed terms — simpler: reduce via two
+    # 32-bit splits of h as well.
+    h_hi = h >> np.uint64(32)
+    h_lo = h & np.uint64(0xFFFFFFFF)
+    # partials, each < 2^64: hi*hi needs 2^64 ≡ 2^3 (mod p)
+    t_hh = fold(a_hi * h_hi)                      # * 2^64 ≡ * 8
+    t_mid = fold(a_hi * h_lo + a_lo * h_hi)       # * 2^32
+    t_ll = fold(a_lo * h_lo)
+    acc = fold(t_hh * np.uint64(8))
+    # t_mid * 2^32 mod p: t_mid < p < 2^61, split again
+    m_hi = t_mid >> np.uint64(29)                 # * 2^61 ≡ * 1
+    m_lo = (t_mid & np.uint64((1 << 29) - 1)) << np.uint64(32)
+    acc = fold(acc + m_hi + m_lo)
+    return fold(acc + t_ll)
+
+
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     min_group_size: int = 2,
@@ -97,10 +133,12 @@ def minhash_signatures(
                 if sh.size == 0:
                     out.append([0] * num_hashes)
                     continue
-                # (H, S) permuted hashes; python-int modmul to avoid overflow
-                vals = (
-                    (sh[None, :] * A[:, None]) % _MERSENNE + Bv[:, None]
-                ) % _MERSENNE
+                # (H, S) permuted hashes under the true universal family
+                # (a*h + b) mod (2^61-1) — 128-bit-exact split multiply
+                h = np.broadcast_to(sh % _MERSENNE, (num_hashes, sh.size))
+                a = np.broadcast_to(A[:, None], h.shape)
+                vals = _modmul61(a, h) + Bv[:, None]
+                vals = np.where(vals >= _MERSENNE, vals - _MERSENNE, vals)
                 out.append([int(v) for v in vals.min(axis=1)])
             yield pd.Series(out)
 
@@ -242,12 +280,22 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_gram_df: int | None = 5000,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard for all pairs sharing >=1 shingle.
 
     explode(shingles) self-join on shingle computes |A ∩ B| per pair in
     one shuffle; |A ∪ B| = |A| + |B| − |A ∩ B| from per-doc distinct
     counts. Candidate pairs are bounded by co-occurrence, not n^2.
+
+    ``max_gram_df`` drops shingles shared by more than that many docs
+    BEFORE the self-join (standard production near-dup hygiene): one
+    boilerplate shingle with df ~ N would otherwise emit ~N^2/2
+    candidate rows — the round-1 hot-shingle quadratic blowup. The
+    intersection count is computed over the SURVIVING grams only, so
+    the Jaccard is exact w.r.t. the capped gram sets (per-doc sizes are
+    capped symmetrically). Pass ``None`` for the uncapped exact
+    semantics (small/verified inputs, and the DuckDB oracle's default).
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     grams = df.select(
@@ -259,8 +307,17 @@ def ngram_jaccard_pairs(
             )
         ).alias("grams"),
     ).filter(F.size("grams") > 0)
-    sizes = grams.select(id_col, F.size("grams").alias("n_grams"))
     exploded = grams.select(id_col, F.explode("grams").alias("gram"))
+    if max_gram_df is not None:
+        keep = (
+            exploded.groupBy("gram")
+            .agg(F.count("*").alias("gram_df"))
+            .filter(F.col("gram_df") <= max_gram_df)
+            .select("gram")
+        )
+        exploded = exploded.join(keep, "gram")
+    # per-doc sizes over the SAME (possibly capped) gram sets
+    sizes = exploded.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     inter = (
         exploded.alias("a")
         .join(exploded.alias("b"), "gram")

@@ -18,6 +18,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+# caches still pinned from prior assign_dense_ids calls, oldest first.
+# Bounded: re-entry releases the oldest when the window is full, so a
+# long-running stream (one call per micro-batch) or a session doing
+# repeated builds can't accumulate pinned datasets. A small window (not
+# unpersist-on-reentry) keeps the previous build's cache alive while
+# its lazy consumers may still be executing.
+_LIVE_CACHES: list[DataFrame] = []
+_MAX_LIVE = 4
+
+
+def release_id_caches() -> None:
+    """Explicitly unpersist every cache minted by assign_dense_ids —
+    call once the downstream consumers have materialized (e.g. after a
+    stage write)."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
 
 def assign_dense_ids(
     df: DataFrame,
@@ -46,6 +63,9 @@ def assign_dense_ids(
     # downstream consumer would redo the range shuffle (and its sampling
     # job) — on a cluster this would be a checkpoint instead
     parted = parted.persist()
+    while len(_LIVE_CACHES) >= _MAX_LIVE:
+        _LIVE_CACHES.pop(0).unpersist()
+    _LIVE_CACHES.append(parted)
     counts = {r["__pid"]: r["count"] for r in parted.groupBy("__pid").count().collect()}
     offsets: list = []
     acc = start

@@ -248,20 +248,44 @@ def _unpack_blocks(blocks_bin: bytes, head: int = 0):
 
 def _merge_overlapping(runs: list, block_size: int = 128):
     """Rare path: runs whose docid ranges overlap (input wasn't
-    range-partitioned by doc_int) — full decode, re-sort, re-encode."""
+    range-partitioned by doc_int) — full decode, re-sort, re-encode.
+
+    Doc lengths are not recoverable from run bodies, so re-encoded
+    Block-Max metadata carries each doc's covering INPUT block's min_dl
+    as a conservative per-doc stand-in: a lower-than-actual dl only
+    loosens (never breaks) the WAND upper bound, vs the round-1
+    behavior of zeroing min_dl, which made bounds maximally loose."""
     from ..functions.varbyte import encode_postings
 
     parts = [decode_postings_body(bytes(r["body"]), int(r["df"])) for r in runs]
     doc = np.concatenate([p[0] for p in parts])
     tfs = np.concatenate([p[1] for p in parts])
     flat = np.concatenate([p[2] for p in parts])
+    dls = np.concatenate(
+        [_per_doc_min_dl(p[0], r["blocks_bin"]) for p, r in zip(parts, runs)]
+    )
     order = np.argsort(doc, kind="stable")
     pos_start = np.concatenate(([0], np.cumsum(tfs)))[:-1]
     within = np.arange(int(tfs.sum()), dtype=np.int64) - np.repeat(
         np.concatenate(([0], np.cumsum(tfs[order])))[:-1], tfs[order]
     )
     flat_s = flat[np.repeat(pos_start[order], tfs[order]) + within]
-    return encode_postings(doc[order], tfs[order], flat_s, block_size)
+    return encode_postings(
+        doc[order], tfs[order], flat_s, block_size, doc_lens=dls[order]
+    )
+
+
+def _per_doc_min_dl(docids: np.ndarray, blocks_bin) -> np.ndarray:
+    """Expand a run's per-block min_dl to per-doc lower bounds: each doc
+    inherits its covering block's min_dl (block i covers docids in
+    (last[i-1], last[i]])."""
+    if blocks_bin is None or len(blocks_bin) == 0 or docids.size == 0:
+        return np.zeros(docids.size, dtype=np.int64)
+    bb = np.frombuffer(bytes(blocks_bin), dtype=np.int64).reshape(-1, 5)
+    lasts, min_dls = bb[:, 0], bb[:, 2]
+    idx = np.searchsorted(lasts, docids, side="left")
+    idx = np.minimum(idx, lasts.size - 1)
+    return min_dls[idx]
 
 
 def decode_postings_body(body: bytes, n_docs: int):

@@ -45,3 +45,61 @@ def indexing_throughput(n_docs: int, wall_sec: float) -> dict:
         "wall_sec": round(wall_sec, 3),
         "docs_per_sec": round(n_docs / wall_sec, 2) if wall_sec > 0 else None,
     }
+
+
+def memory_metrics(spark=None) -> dict:
+    """Current/peak RSS of the driver plus JVM heap usage — the engine
+    analog of Perfomance-monitor.hpp:40-54,110-113 (get_memory_usage /
+    peak tracking). RSS via stdlib resource (no psutil dependency);
+    ru_maxrss is KiB on Linux."""
+    import resource
+
+    ru = resource.getrusage(resource.RUSAGE_SELF)
+    out = {
+        "driver_peak_rss_bytes": int(ru.ru_maxrss) * 1024,
+    }
+    try:
+        import os
+
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    out["driver_rss_bytes"] = int(line.split()[1]) * 1024
+                    break
+        del os
+    except OSError:
+        pass
+    if spark is not None:
+        try:
+            rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+            out["jvm_heap_used_bytes"] = int(rt.totalMemory() - rt.freeMemory())
+            out["jvm_heap_max_bytes"] = int(rt.maxMemory())
+        except Exception:
+            pass
+    return out
+
+
+def index_size_metrics(index_dir: str) -> dict:
+    """On-disk size per index table (Perfomance-monitor's index-size
+    report): bytes and file counts under each stage directory."""
+    from pathlib import Path
+
+    base = Path(index_dir)
+    out: dict = {"total_bytes": 0}
+    for sub in sorted(p for p in base.iterdir() if p.is_dir()):
+        nbytes = sum(f.stat().st_size for f in sub.rglob("*") if f.is_file())
+        out[f"{sub.name}_bytes"] = nbytes
+        out["total_bytes"] += nbytes
+    return out
+
+
+def missing_term_count(tokens, lexicon) -> int:
+    """F5 (indexer4.cpp:413-419): tokens whose term is absent from the
+    lexicon during the forward-index remap. The reference logs
+    '[MISSING_TERM]' per occurrence; at scale that is a metric, not a
+    log line — one anti-join count, zero rows shipped to the driver."""
+    return (
+        tokens.select("term")
+        .join(lexicon.select("term"), "term", "left_anti")
+        .count()
+    )

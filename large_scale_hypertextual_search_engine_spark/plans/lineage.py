@@ -170,6 +170,11 @@ def build_and_save_index(
         ),
         sort_by=["term"],
     )
+    # every stage is on disk now: release the id-minting caches so
+    # repeated builds in one session don't pin storage (ADVICE r1)
+    from ..operators.ids import release_id_caches
+
+    release_id_caches()
     return {
         "docid_map": docid_map,
         "doc_stats": doc_stats,

@@ -64,15 +64,17 @@ def clean_documents(
     def _clean(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_fields = []
-            for _, row in pdf.iterrows():
+            for title, abstract, sections in zip(
+                pdf["title"], pdf["abstract"], pdf["sections"]
+            ):
                 doc_fields: list[tuple[str, str]] = []
                 for f in fields:
                     if f == "title":
-                        doc_fields.append(("title", row["title"] or ""))
+                        doc_fields.append(("title", title or ""))
                     elif f == "abstract":
-                        doc_fields.append(("abstract", row["abstract"] or ""))
+                        doc_fields.append(("abstract", abstract or ""))
                     elif f in ("sections", "body"):
-                        doc_fields.extend(split_sections(row["sections"] or ""))
+                        doc_fields.extend(split_sections(sections or ""))
                 out_fields.append(
                     [
                         (

@@ -16,9 +16,47 @@ decode path already handles multi-run terms.
 
 from __future__ import annotations
 
+import json
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.index_build import RUNS_DDL, _encode_arrow_batches
+
+# on-disk delta_runs layout version. v2 = packed int64[n,5] blocks_bin
+# binary column (v1 carried an array<struct> 'blocks' column). compact()
+# refuses directories written by a different version with a clear error
+# instead of an unresolved-column AnalysisException mid-plan.
+DELTA_FORMAT_VERSION = 2
+
+
+def _marker_path(d: str) -> Path:
+    return Path(d) / "_delta_format.json"
+
+
+def _write_format_marker(d: str) -> None:
+    p = _marker_path(d)
+    if not p.exists():
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(json.dumps({"delta_runs_version": DELTA_FORMAT_VERSION}))
+
+
+def _check_format(d: str, runs: DataFrame) -> None:
+    p = _marker_path(d)
+    version = None
+    if p.exists():
+        try:
+            version = json.loads(p.read_text()).get("delta_runs_version")
+        except (OSError, json.JSONDecodeError):
+            version = None
+    if version is None:  # pre-marker directory: sniff the schema
+        version = 2 if "blocks_bin" in runs.columns else 1
+    if version != DELTA_FORMAT_VERSION:
+        raise ValueError(
+            f"delta_runs at {d} uses on-disk format v{version}, this engine "
+            f"writes/reads v{DELTA_FORMAT_VERSION}; re-ingest the stream or "
+            "repack the old delta (decode 'blocks' structs -> blocks_bin)"
+        )
 
 
 def _encode_batch_runs(tokens: DataFrame, batch_id: int) -> DataFrame:
@@ -88,6 +126,12 @@ def index_stream(
         _encode_batch_runs(
             tokens.select("term", "doc_int", "positions", "doc_len"), batch_id
         ).write.mode("append").parquet(f"{d}/delta_runs")
+        _write_format_marker(d)
+        # every write above has materialized; drop the id-minting cache
+        # so a long-running stream doesn't pin one dataset per batch
+        from ..operators.ids import release_id_caches
+
+        release_id_caches()
 
     writer = (
         docs_stream.writeStream.foreachBatch(_process)
@@ -105,6 +149,7 @@ def compact(spark: SparkSession, out_dir: str) -> DataFrame:
 
     d = out_dir.rstrip("/")
     runs = spark.read.parquet(f"{d}/delta_runs")
+    _check_format(d, runs)
     return (
         runs.groupBy("term")
         .agg(

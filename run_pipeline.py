@@ -83,11 +83,19 @@ def cmd_index(args) -> None:
     wall = time.time() - t0
     n_docs = idx["docid_map"].count()
     n_terms = idx["lexicon"].count()
+    from large_scale_hypertextual_search_engine_spark.operators.metrics import (
+        index_size_metrics, memory_metrics,
+    )
+
+    mem = memory_metrics(spark)
+    sizes = index_size_metrics(args.out)
     record_metrics(args.out, fp, [
         {"stage": "index", "key": "n_docs", "value": n_docs},
         {"stage": "index", "key": "n_terms", "value": n_terms},
         {"stage": "index", "key": "wall_s", "value": round(wall, 2)},
         {"stage": "index", "key": "docs_per_sec", "value": round(n_docs / wall, 1)},
+        *[{"stage": "index", "key": k, "value": v} for k, v in mem.items()],
+        *[{"stage": "index", "key": f"size_{k}", "value": v} for k, v in sizes.items()],
     ])
     print(json.dumps({
         "n_docs": n_docs, "n_terms": n_terms,

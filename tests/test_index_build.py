@@ -157,3 +157,61 @@ def test_strategy_parity_spimi_vs_salted(spark):
     # round-robin repartition destroys docid-range disjointness
     c = blobs(toks.repartition(7), strategy="spimi", chunk_rows=2000)
     assert a == c
+
+
+def test_merge_overlapping_propagates_min_dl():
+    """The decode-merge fallback must carry conservative per-doc dl
+    lower bounds into the re-encoded Block-Max metadata (round-1 ADVICE:
+    min_dl=0 everywhere defeats WAND skip pruning)."""
+    import numpy as np
+    from large_scale_hypertextual_search_engine_spark.functions.varbyte import (
+        encode_run,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.index_build import (
+        _merge_overlapping,
+    )
+
+    def run_row(docids, dls):
+        docids = np.asarray(docids)
+        tfs = np.ones(docids.size, dtype=np.int64)
+        body, blocks = encode_run(
+            docids, tfs, docids, block_size=4, doc_lens=np.asarray(dls)
+        )
+        bb = np.array(
+            [[ld, mt, md, off, nb] for (ld, mt, md, off, nb) in blocks],
+            dtype=np.int64,
+        ).tobytes()
+        return {
+            "body": body, "blocks_bin": bb, "df": docids.size,
+            "first_docid": int(docids[0]), "last_docid": int(docids[-1]),
+        }
+
+    # overlapping docid ranges with distinct dls per run
+    r1 = run_row([1, 3, 5, 7, 9, 11, 13, 15], [50] * 8)
+    r2 = run_row([2, 4, 6, 8, 10, 12, 14, 16], [90] * 8)
+    blob, blocks = _merge_overlapping([r1, r2], block_size=4)
+    assert len(blocks) == 4
+    # every block's min_dl is a sound lower bound and nonzero
+    for (_ld, _mt, md, _o, _nb) in blocks:
+        assert md == 50  # min over interleaved docs' conservative dls
+    # and decoding round-trips the interleaved postings
+    from large_scale_hypertextual_search_engine_spark.functions.varbyte import (
+        decode_postings,
+    )
+    d, t, p = decode_postings(blob)
+    assert list(d) == list(range(1, 17))
+
+
+def test_missing_term_count_metric(spark):
+    """F5 (indexer4.cpp:413-419): the remap's dropped terms become a
+    metric instead of silent nulls."""
+    from large_scale_hypertextual_search_engine_spark.operators.metrics import (
+        missing_term_count,
+    )
+
+    tokens = spark.createDataFrame(
+        [("a",), ("b",), ("zzz",), ("zzz",)], "term string"
+    )
+    lexicon = spark.createDataFrame([("a",), ("b",)], "term string")
+    assert missing_term_count(tokens, lexicon) == 2
+    assert missing_term_count(tokens.filter("term != 'zzz'"), lexicon) == 0

@@ -58,13 +58,60 @@ def test_minhash_estimates_jaccard(spark, dup_docs):
     # python oracle for the signature kernel itself
     from large_scale_hypertextual_search_engine_spark.operators.textstats import hash_token
     rng = np.random.default_rng(42)
-    M = np.uint64((1 << 61) - 1)
-    A = rng.integers(1, int(M), size=64, dtype=np.uint64)
-    Bv = rng.integers(0, int(M), size=64, dtype=np.uint64)
+    M = (1 << 61) - 1
+    A = rng.integers(1, M, size=64, dtype=np.uint64)
+    Bv = rng.integers(0, M, size=64, dtype=np.uint64)
     toks = "a b c d e f g h".split()
-    sh = np.array(_shingles(toks, 3), dtype=np.uint64)
-    expect = (((sh[None, :] * A[:, None]) % M + Bv[:, None]) % M).min(axis=1)
-    assert sigs[1] == [int(x) for x in expect]
+    sh = _shingles(toks, 3)
+    # exact python-int oracle of the universal family (a*h + b) mod p
+    expect = [
+        min((int(A[i]) * (h % M) + int(Bv[i])) % M for h in sh)
+        for i in range(64)
+    ]
+    assert sigs[1] == expect
+
+
+def test_modmul61_exact():
+    """128-bit split modmul == python-int arithmetic across the range."""
+    from large_scale_hypertextual_search_engine_spark.operators.dedup import (
+        _modmul61,
+    )
+
+    M = (1 << 61) - 1
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, M, size=5000, dtype=np.uint64)
+    h = rng.integers(0, M, size=5000, dtype=np.uint64)
+    # include adversarial corners
+    corners = np.array([0, 1, 2, M - 1, M - 2, 1 << 60, (1 << 32) - 1],
+                       dtype=np.uint64)
+    a = np.concatenate([a, corners, corners[::-1]])
+    h = np.concatenate([h, corners[::-1], corners])
+    got = _modmul61(a, h)
+    expect = np.array([(int(x) * int(y)) % M for x, y in zip(a, h)],
+                      dtype=np.uint64)
+    assert (got == expect).all()
+
+
+def test_ngram_hot_shingle_cap(spark):
+    """A boilerplate shingle shared by every doc must not create the
+    quadratic candidate set: with max_gram_df it is dropped before the
+    self-join and pairs only form over the distinctive grams."""
+    header = "copyright acme corp all rights reserved"
+    rows = [(i, f"{header} unique{i} tail{i} x{i} y{i}") for i in range(50)]
+    rows += [(100, f"{header} shared shared2 shared3 a b"),
+             (101, f"{header} shared shared2 shared3 a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(
+        df, n=3, threshold=0.2, max_gram_df=10
+    ).collect()
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (100, 101) in got
+    # boilerplate-only overlaps are gone entirely
+    assert all(p == (100, 101) for p in got)
+    # and the candidate explosion never happened: uncapped, the header
+    # grams alone would pair all 52 docs (1326 pairs) before filtering
+    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.0, max_gram_df=None)
+    assert uncapped.count() > len(got)
 
 
 def test_simhash_near_dup(spark, dup_docs):
