@@ -85,6 +85,27 @@ RUNS_DDL = (
 )
 
 
+def term_bucket_col(n_buckets: int, term_col: str = "term"):
+    """Barrel assignment (Barrel-manager.hpp:16-43): crc32(term) mod n.
+
+    crc32 — not xxhash64 — so the DRIVER can compute a query term's
+    bucket with stdlib zlib.crc32 and prune partition directories
+    before the scan (operators.query.prune_buckets); parquet partition
+    values aren't predictable from xxhash64 python-side."""
+    return (
+        F.pmod(F.crc32(F.col(term_col).cast("binary")), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket_id")
+    )
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Python mirror of :func:`term_bucket_col` (same crc32 mod n)."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
 def _encode_arrow_batches(block_size: int):
     """Arrow-native phase-1 encode: each input row is one (term, salt)
     group with its postings pre-aggregated JVM-side into a sorted
@@ -508,7 +529,7 @@ def build_index(
         "df",
         "tf",
         "bytes",
-        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket_id"),
+        term_bucket_col(n_buckets),
     )
 
     out = {

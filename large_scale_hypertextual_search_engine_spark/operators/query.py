@@ -88,6 +88,23 @@ def decode_postings_df(postings: DataFrame, terms: list[str] | None = None) -> D
     return src.select(*cols).mapInPandas(_decode, DECODED_SCHEMA)
 
 
+def prune_buckets(index: dict[str, DataFrame], terms: list[str]) -> DataFrame:
+    """Return the postings frame with the barrel predicate applied:
+    ``bucket_id IN (crc32(t) mod n for t in terms)`` — computed
+    driver-side, so the parquet reader prunes whole partition
+    directories before file stats are even consulted (the distributed
+    analog of opening only the right barrel files,
+    Barrel-manager.hpp:38-43)."""
+    postings = index["postings"]
+    nb = index.get("_n_buckets")
+    if nb and "bucket_id" in postings.columns:
+        from .index_build import term_bucket
+
+        buckets = sorted({term_bucket(t, nb) for t in terms})
+        postings = postings.filter(F.col("bucket_id").isin(buckets))
+    return postings
+
+
 def _stats(index: dict[str, DataFrame]) -> tuple[int, float]:
     cached = index.get("_stats")
     if cached is not None:
@@ -116,7 +133,7 @@ def search_batch(
     n_docs, avg_dl = _stats(index)
     if terms is None:
         terms = [r["term"] for r in queries.select("term").distinct().collect()]
-    decoded = decode_postings_df(index["postings"], terms)
+    decoded = decode_postings_df(prune_buckets(index, terms), terms)
 
     cand = F.broadcast(queries).join(decoded, "term")
 
@@ -149,7 +166,7 @@ def search_batch(
         # column (tiny; parquet prunes both files and the blob column) —
         # NOT an agg over the decoded candidate frame, which would run
         # the decode kernel a second time and shuffle df~N rows.
-        present = index["postings"].select("term").filter(
+        present = prune_buckets(index, terms).select("term").filter(
             F.col("term").isin([t for t in terms])
         )
         n_found = (

@@ -379,8 +379,10 @@ def wand_search(
     span = -(-n_docs // n_shards)
     dl_default = float(int(avg_dl))  # floor fallback, reference quirk Q8
 
+    from .query import prune_buckets
+
     uniq = list(dict.fromkeys(terms))
-    rows = index["postings"].filter(F.col("term").isin(uniq)).select(
+    rows = prune_buckets(index, uniq).filter(F.col("term").isin(uniq)).select(
         "df", "postings", "blocks"
     )
     shard_rows = rows.mapInPandas(_explode_to_shards(span), _SHARD_ROWS_DDL)

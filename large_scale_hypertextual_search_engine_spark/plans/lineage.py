@@ -45,6 +45,7 @@ def run_stage(
     compute: Callable[[], DataFrame],
     partition_by: list[str] | None = None,
     sort_by: list[str] | None = None,
+    extra_meta: dict | None = None,
 ) -> DataFrame:
     """Compute-or-resume one stage. Returns the stage output DataFrame
     (always read back from storage so downstream plans cut lineage)."""
@@ -70,10 +71,21 @@ def run_stage(
                 "rows": rows,
                 "wall_ms": int((time.time() - t0) * 1000),
                 "committed": True,
+                **(extra_meta or {}),
             }
         )
     )
     return out
+
+
+def stage_meta(path: str) -> dict:
+    mp = _meta_path(path)
+    if not mp.exists():
+        return {}
+    try:
+        return json.loads(mp.read_text())
+    except (OSError, json.JSONDecodeError):
+        return {}
 
 
 def record_metrics(base_dir: str, run_id: str, rows: list[dict]) -> None:
@@ -148,6 +160,13 @@ def build_and_save_index(
             (F.sum("doc_len") / F.lit(n_docs)).alias("avg_dl"),
         ),
     )
+    # barrel parity (Barrel-manager.hpp:16-43, SURVEY §4.3): postings
+    # are directory-partitioned by crc32(term) mod n_buckets and term-
+    # sorted within files, so a query's term filter prunes both
+    # partition dirs (bucket predicate, computed driver-side) and files
+    # (parquet term min/max stats) before any blob is read
+    from ..operators.index_build import term_bucket_col
+
     postings = run_stage(
         spark, "postings", f"{d}/postings", fingerprint,
         lambda: build_postings(
@@ -155,8 +174,10 @@ def build_and_save_index(
             n_docs,
             block_size=block_size,
             salt_buckets=salt_buckets,
-        ),
+        ).withColumn("bucket_id", term_bucket_col(n_buckets)),
+        partition_by=["bucket_id"],
         sort_by=["term"],
+        extra_meta={"n_buckets": n_buckets},
     )
     lexicon = run_stage(
         spark, "lexicon", f"{d}/lexicon", fingerprint,
@@ -192,4 +213,7 @@ def load_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
         for name in ("docid_map", "doc_stats", "collection_stats", "postings", "lexicon")
     }
     out["terms_list"] = out["lexicon"].select("term", "term_id")
+    nb = stage_meta(f"{d}/postings").get("n_buckets")
+    if nb:
+        out["_n_buckets"] = int(nb)  # enables driver-side bucket pruning
     return out

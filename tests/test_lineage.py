@@ -57,3 +57,58 @@ def test_build_and_save_index_resume_stable(spark, tmp_path):
 
     res = search(loaded, ["spark"], top_k=5).collect()
     assert len(res) == 5
+
+
+def test_bucketed_postings_prune_and_match(spark, tmp_path):
+    """Barrel parity: postings are written partitioned by
+    crc32(term)%n_buckets; a term lookup scans ONLY the matching bucket
+    directories, and results equal the unpruned scan."""
+    from large_scale_hypertextual_search_engine_spark.operators.index_build import (
+        term_bucket,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.query import (
+        prune_buckets, search,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("cast(doc_id as string) as docid", "text as content")
+        .limit(200)
+    )
+    d = str(tmp_path / "idx")
+    build_and_save_index(docs, d, "fp-b", mode="simple", stem=False,
+                         salt_buckets=2, n_buckets=8)
+    idx = load_index(spark, d)
+    assert idx["_n_buckets"] == 8
+    assert any("bucket_id=" in f for f in idx["postings"].inputFiles())
+
+    terms = ["spark", "join"]
+    pruned = prune_buckets(idx, terms).filter(F.col("term").isin(terms))
+    want_buckets = {term_bucket(t, 8) for t in terms}
+    # the physical scan carries a partition filter on bucket_id (the
+    # reader prunes whole directories before file listing)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "bucket_id" in pf[0], plan
+    # and the pruned scan reads fewer files than the full relation
+    full_files = len(idx["postings"].inputFiles())
+    scan_files = pruned.withColumn(
+        "f", F.input_file_name()
+    ).select("f").distinct().count()
+    assert 0 < scan_files < full_files
+    # every file actually read lives in a wanted bucket directory
+    read_dirs = {
+        r["f"].split("bucket_id=")[1].split("/")[0]
+        for r in pruned.withColumn("f", F.input_file_name())
+        .select("f").distinct().collect()
+    }
+    assert read_dirs <= {str(b) for b in want_buckets}
+    # and correctness is unchanged vs a term-only filter
+    expect = {
+        r["term"]: bytes(r["postings"])
+        for r in idx["postings"].filter(F.col("term").isin(terms)).collect()
+    }
+    got = {r["term"]: bytes(r["postings"]) for r in pruned.collect()}
+    assert got == expect and len(got) >= 1
+    res = search(idx, terms, top_k=5).collect()
+    assert len(res) == 5
