@@ -102,6 +102,38 @@ def q_ft_bm25_or(spark, sf_dir):
     return _bm25(spark, sf_dir, ["merge", "window"], "or", "true")
 
 
+def q_ft_bm25_wand(spark, sf_dir):
+    """Block-Max WAND, sharded serving path — rank-identical to exact OR
+    top-k by construction, so it shares the ft_bm25_or oracle SQL."""
+    from large_scale_hypertextual_search_engine_spark.operators.wand import (
+        wand_search,
+    )
+
+    res = wand_search(
+        _index(spark, sf_dir), ["merge", "window"], top_k=10,
+        tf_mode="true", n_shards=4,
+    )
+    return res.select(
+        "docid", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_autocomplete_batch(spark, sf_dir):
+    """suggest_many: per-length hash equi-joins, one job for N prefixes."""
+    from large_scale_hypertextual_search_engine_spark.operators.autocomplete import (
+        suggest_many,
+    )
+
+    prefixes = spark.createDataFrame(
+        [("s",), ("re",), ("con",)], "prefix string"
+    )
+    out = suggest_many(
+        _index(spark, sf_dir)["lexicon"], prefixes, max_suggestions=5
+    )
+    return out.select("prefix", F.col("rank").cast("int").alias("rank"), "term", "tf")
+
+
 def q_ft_autocomplete(spark, sf_dir):
     from large_scale_hypertextual_search_engine_spark.operators.autocomplete import (
         suggest,
@@ -389,7 +421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_and": q_ft_bm25_and,
         "ft_bm25_and_compat": q_ft_bm25_and_compat,
         "ft_bm25_or": q_ft_bm25_or,
+        "ft_bm25_wand": q_ft_bm25_wand,
         "ft_autocomplete": q_ft_autocomplete,
+        "autocomplete_batch": q_autocomplete_batch,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -549,6 +583,21 @@ FROM (SELECT CAST(doc_id AS VARCHAR) AS docid FROM documents)""",
         "ft_bm25_and": _bm25_true_sql(["spark", "join"], "and"),
         "ft_bm25_and_compat": _bm25_compat_sql(["spark", "join"]),
         "ft_bm25_or": _bm25_true_sql(["merge", "window"], "or"),
+        # WAND is exact top-k: the oracle is the same SQL as ft_bm25_or
+        "ft_bm25_wand": _bm25_true_sql(["merge", "window"], "or"),
+        "autocomplete_batch": f"""
+WITH {_TOKS},
+lex AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+p AS (SELECT * FROM (VALUES ('s'), ('re'), ('con')) AS t(prefix)),
+j AS (
+  SELECT p.prefix, lex.term, lex.tf,
+         row_number() OVER (
+           PARTITION BY p.prefix ORDER BY lex.tf DESC, lex.term ASC
+         ) AS rank
+  FROM p JOIN lex ON substring(lex.term, 1, length(p.prefix)) = p.prefix
+)
+SELECT prefix, CAST(rank AS INT) AS rank, term, tf
+FROM j WHERE rank <= 5""",
         "ft_autocomplete": f"""
 WITH {_TOKS}
 SELECT term, COUNT(*) AS tf

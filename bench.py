@@ -94,7 +94,27 @@ def main() -> None:
     extra["bm25_qps"] = round(qid / timings["bm25_batch"], 2)
 
     timed("bm25_single", lambda: search(idx, ["spark", "join"], top_k=10).count())
+    from large_scale_hypertextual_search_engine_spark.operators.wand import (
+        wand_search,
+    )
+
+    timed(
+        "bm25_wand",
+        lambda: wand_search(idx, ["spark", "join"], top_k=10).count(),
+    )
     timed("autocomplete", lambda: suggest(idx["lexicon"], "s").count())
+    # driver-side serving path: warm per-call latency vs the reference's
+    # <100 ms trie target (Auto-complete.hpp:3)
+    from large_scale_hypertextual_search_engine_spark.operators.autocomplete import (
+        AutocompleteServer,
+    )
+
+    srv = AutocompleteServer(idx["lexicon"])
+    srv.suggest("s")
+    t0 = time.time()
+    for _ in range(200):
+        srv.suggest("sp", max_suggestions=10)
+    extra["autocomplete_warm_ms"] = round((time.time() - t0) * 1000 / 200, 4)
 
     # --- training-data ops ---
     raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -106,25 +106,40 @@ def decode_media(
     payload_col: str = "payload",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Decode+resize kernel. STUB: real codecs (PIL/ffmpeg) are not in
-    this container. With ``fake=True`` emits a deterministic
-    content-hash-seeded pixel buffer with the real output schema and
-    batch shape, so downstream plumbing (featurizers, ANN over image
-    embeddings) is fully exercisable."""
+    """Decode+resize kernel (image bytes -> fixed-size RGB buffers).
+
+    The real path uses Pillow WHEN IMPORTABLE on the executors (an
+    optional dependency — not baked into this container); without it,
+    the call degrades to NotImplementedError rather than a wrong
+    answer. ``fake=True`` emits a deterministic content-hash-seeded
+    pixel buffer with the IDENTICAL output schema and batch shape
+    (contract-tested), so downstream plumbing (featurizers, ANN over
+    image embeddings) is fully exercisable codec-free."""
     w, h = target_size
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not fake:
+        if not fake:
+            try:
+                import io
+
+                from PIL import Image
+            except ImportError as e:  # optional dep absent in sandbox
                 raise NotImplementedError(
-                    "media codecs unavailable in this environment; "
-                    "run with fake=True for the deterministic stub"
-                )
+                    "media codecs unavailable (pip install Pillow on the "
+                    "executors); run with fake=True for the deterministic "
+                    "schema-identical stub"
+                ) from e
+        for pdf in batches:
             rows = {"media_id": [], "width": [], "height": [], "channels": [], "pixels": []}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                digest = hashlib.sha256(bytes(payload or b"")).digest()
-                rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
-                px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                if fake:
+                    digest = hashlib.sha256(bytes(payload or b"")).digest()
+                    rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
+                    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                else:
+                    img = Image.open(io.BytesIO(bytes(payload)))
+                    img = img.convert("RGB").resize((w, h))
+                    px = np.asarray(img, dtype=np.uint8)
                 rows["media_id"].append(int(mid))
                 rows["width"].append(w)
                 rows["height"].append(h)

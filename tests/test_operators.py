@@ -200,3 +200,40 @@ def test_synthetic_corpus_deterministic(spark):
     toks = df.select(F.explode(F.split("content", " ")).alias("t"))
     the_df = toks.filter(F.col("t") == "the").count()
     assert the_df > 0
+
+
+def test_decode_media_fake_contract(spark):
+    """The fake path's output contract equals the documented real one:
+    schema, channel count, buffer length (w*h*3 uint8), determinism."""
+    from large_scale_hypertextual_search_engine_spark.operators.multimodal import (
+        DECODED_SCHEMA,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG-ish"), (2, b"JFIF-ish"), (3, None)],
+        "media_id long, payload binary",
+    )
+    out = decode_media(df, target_size=(8, 6), fake=True)
+    assert out.schema == DECODED_SCHEMA
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 3
+    for r in rows.values():
+        assert (r["width"], r["height"], r["channels"]) == (8, 6, 3)
+        assert len(r["pixels"]) == 8 * 6 * 3
+    # deterministic: same payload -> same pixels on a rerun
+    rows2 = {r["media_id"]: r for r in decode_media(
+        df, target_size=(8, 6), fake=True
+    ).collect()}
+    assert all(bytes(rows[k]["pixels"]) == bytes(rows2[k]["pixels"]) for k in rows)
+    # real path degrades loudly without the optional codec dep
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(Exception) as ei:
+            decode_media(df, fake=False).collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError
+        )
