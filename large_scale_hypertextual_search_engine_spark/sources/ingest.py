@@ -122,3 +122,16 @@ def read_cleaned_jsonl(
     reference-produced cleaned.jsonl can be indexed by this engine
     without re-extraction."""
     return split_corrupt(read_jsonl_permissive(spark, path, CLEANED_SCHEMA))
+
+
+def write_extracted_tsv(df: DataFrame, path: str) -> None:
+    """K1 (extractor.cpp:340-347): 8-col TSV sink, fixture-parity only.
+
+    Raw tab-joined lines via the text sink — NOT ``df.write.csv``,
+    whose dialect would quote fields containing tabs/quotes where the
+    reference emits them verbatim."""
+    df.select(
+        F.concat_ws(
+            "\t", *[F.coalesce(F.col(c), F.lit("")) for c in EXTRACTED_COLS]
+        ).alias("value")
+    ).write.mode("overwrite").text(path)

@@ -90,3 +90,25 @@ def test_reference_cleaned_jsonl_reproduces_golden_index(spark):
         df, tf, per = got[term]
         assert df == e["df"] and tf == e["tf"], term
         assert per == golden[term], term
+
+
+def test_tsv_sink_roundtrip(spark, tmp_path):
+    """K1: write_extracted_tsv emits reference-verbatim rows (no csv
+    quoting) — reading golden TSV and re-writing round-trips exactly."""
+    from large_scale_hypertextual_search_engine_spark.sources.ingest import (
+        write_extracted_tsv,
+    )
+
+    src = read_extracted_tsv(spark, str(REF / "outpmc.tsv"))
+    out = str(tmp_path / "o.tsv")
+    write_extracted_tsv(src, out)
+    back = read_extracted_tsv(spark, out)
+    a = sorted(tuple(r) for r in src.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b and len(a) == 6
+    # verbatim lines match the golden file's well-formed rows
+    golden = sorted(
+        l for l in (REF / "outpmc.tsv").read_text(encoding="utf-8").splitlines() if l
+    )
+    written = sorted(r["value"] for r in spark.read.text(out).collect())
+    assert written == golden
