@@ -169,3 +169,54 @@ def lsh_bucket_topk(
         "__bucket", hyperplane_bucket_col(F.col(vec_col), planes)
     ).filter(F.col("__bucket").isin(list(probes)))
     return cosine_topk(bucketed, query_vec, k, vec_col, id_col)
+
+
+def write_lsh_partitioned(
+    df: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Materialize the ANN table partitioned by its hyperplane bucket —
+    the wiring round 1 left declared-but-unwired: once on disk, a probe
+    reads (1 + multiprobe-flips)/2^n_planes of the partition dirs
+    instead of scanning everything and bucketing at query time."""
+    df.withColumn(
+        "bucket",
+        hyperplane_bucket_col(
+            F.col(vec_col),
+            np.random.default_rng(seed).standard_normal(
+                (n_planes, _vec_dim(df, vec_col))
+            ),
+        ),
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    return len(df.select(vec_col).first()[0])
+
+
+def lsh_partitioned_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """ANN over a :func:`write_lsh_partitioned` table: the probe set is
+    computed driver-side and pushed as a PARTITION predicate, so only
+    the probed bucket directories are listed/read."""
+    rng = np.random.default_rng(seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = rng.standard_normal((n_planes, q.size))
+    qbits = sum((1 << i) for i, p in enumerate(planes) if float(q @ p) >= 0)
+    probes = {qbits}
+    if multiprobe >= 1:
+        probes |= {qbits ^ (1 << i) for i in range(n_planes)}
+    df = spark.read.parquet(path).filter(F.col("bucket").isin(list(probes)))
+    return cosine_topk(df, query_vec, k, vec_col, id_col)

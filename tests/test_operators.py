@@ -237,3 +237,26 @@ def test_decode_media_fake_contract(spark):
         assert "NotImplementedError" in str(ei.value) or isinstance(
             ei.value, NotImplementedError
         )
+
+
+def test_lsh_partitioned_table_prunes_and_matches(spark, emb_df, tmp_path):
+    """The materialized ANN table is directory-partitioned by bucket;
+    a probe scans only the probed dirs and returns the same rows as the
+    query-time-bucketed path."""
+    from large_scale_hypertextual_search_engine_spark.operators.similarity import (
+        lsh_partitioned_topk, write_lsh_partitioned,
+    )
+
+    df, rows = emb_df
+    path = str(tmp_path / "ann")
+    write_lsh_partitioned(df, path, n_planes=6)
+    q = rows[0][1]
+    got = lsh_partitioned_topk(spark, path, q, k=5, n_planes=6)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "bucket" in pf[0], plan
+    expect = [
+        (r["vec_id"], r["score"])
+        for r in lsh_bucket_topk(df, q, k=5, n_planes=6).collect()
+    ]
+    assert [(r["vec_id"], r["score"]) for r in got.collect()] == expect
