@@ -184,6 +184,21 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish pretokenizer token counts per doc — the
+    training-data budgeting primitives, both pure codegen expressions."""
+    from large_scale_hypertextual_search_engine_spark.operators.textstats import (
+        bpe_token_count, token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def q_text_quality(spark, sf_dir):
     from large_scale_hypertextual_search_engine_spark.operators.textstats import (
         quality_features,
@@ -387,6 +402,49 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def _ann_lsh_oracle_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB oracle for q_ann_lsh: the SAME rng hyperplanes embedded as
+    SQL literals, bucket = packed sign bits, multiprobe=1 candidates =
+    Hamming<=1 from the query's bucket, exact cosine re-rank inside."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+    def dot(plane) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        return (
+            "list_sum(list_transform(generate_series(1, len(embedding)), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot(p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings
+),
+qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0),
+cand AS (
+  SELECT b.vec_id, b.embedding FROM b, qb
+  WHERE bit_count(xor(CAST(b.bucket AS BIGINT), CAST(qb.qbucket AS BIGINT))) <= 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT c.vec_id,
+    list_sum(list_transform(generate_series(1, len(c.embedding)),
+      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+    / ( sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)),
+          i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))
+      * sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+          i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) ) AS score
+  FROM cand c CROSS JOIN q
+)
+SELECT vec_id, round(score, 6) AS score
+FROM s ORDER BY score DESC, vec_id ASC LIMIT 10"""
+
+
 def q_ft_compat_analyzer(spark, sf_dir):
     """Reference-exact analyzer (stem + charset) over the corpus: top
     stemmed terms. Not SQL-expressible (Porter-variant stemmer)."""
@@ -428,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -651,6 +710,15 @@ SELECT vec_id,
        CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank,
        round(score, 6) AS score
 FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""",
+        "ann_lsh": _ann_lsh_oracle_sql(),
+        "token_counts": r"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+    AS n_ws_tokens,
+  CAST(len(regexp_extract_all(
+    text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+  )) AS BIGINT) AS n_bpe_tokens
+FROM documents""",
         "text_quality": f"""
 WITH base AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks

@@ -45,11 +45,24 @@ DECODED_SCHEMA = StructType(
 )
 
 
-def decode_postings_df(postings: DataFrame, terms: list[str] | None = None) -> DataFrame:
-    """postings table -> (term, df, doc_int, tf) rows, Arrow-vectorized."""
+def decode_postings_df(
+    postings: DataFrame,
+    terms: list[str] | None = None,
+    spread: bool = False,
+) -> DataFrame:
+    """postings table -> (term, df, doc_int, tf) rows, Arrow-vectorized.
+
+    ``spread`` round-robins the term-filtered rows across the shuffle
+    partition count before the decode kernel — useful when the selected
+    blobs pack into fewer file-scan partitions than cores AND decode
+    CPU dominates (measured: with the lockstep-vectorized decode it
+    usually doesn't, so default off; the shuffle moves whole blobs)."""
     src = postings
     if terms is not None:
         src = src.filter(F.col("term").isin(list(terms)))
+        if spread:
+            n = int(src.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+            src = src.repartition(n)
 
     has_blocks = "blocks" in postings.columns
 
@@ -135,7 +148,15 @@ def search_batch(
         terms = [r["term"] for r in queries.select("term").distinct().collect()]
     decoded = decode_postings_df(prune_buckets(index, terms), terms)
 
-    cand = F.broadcast(queries).join(decoded, "term")
+    # ONE shuffle for the whole scoring pipeline: repartitioning the
+    # candidates by query_id up front satisfies the clustering of BOTH
+    # the per-doc aggregation (query_id is a subset of its keys) and
+    # the final top-k window — Catalyst elides their exchanges, so the
+    # df~N candidate rows cross the wire once, not twice
+    npart = int(queries.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand = (
+        F.broadcast(queries).join(decoded, "term").repartition(npart, "query_id")
+    )
 
     doc_stats = index["doc_stats"].select("doc_int", "doc_len")
     cand = cand.join(doc_stats, "doc_int", "left").withColumn(

@@ -39,6 +39,21 @@ def token_count(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+# GPT-2-style pretokenizer, restricted to constructs RE2 (DuckDB) and
+# Java regex agree on (no lookahead): contractions, optional-space
+# letter runs, digit runs, punctuation runs, whitespace runs. Matching
+# is leftmost, first-alternative in both engines, so counts agree —
+# asserted by the token_counts oracle query.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: number of pretokenizer matches — the cheap
+    JVM-side proxy for 'how many LLM tokens is this document' used for
+    training-data budgeting (whole-stage codegen, no UDF)."""
+    return F.regexp_count(text, F.lit(BPE_PRETOKEN_RE))
+
+
 def quality_features(
     df: DataFrame, text_col: str = "text", stopwords: tuple[str, ...] = ("the", "and", "of", "a", "is", "in", "to")
 ) -> DataFrame:

@@ -281,7 +281,7 @@ WAND_SCHEMA = StructType(
 
 
 _SHARD_ROWS_DDL = (
-    "shard int, df long, base long, postings binary, "
+    "shard int, term string, df long, base long, postings binary, "
     "blocks array<struct<last_docid:long,max_tf:int,min_dl:int,"
     "offset:int,bytes:int>>"
 )
@@ -300,8 +300,10 @@ def _explode_to_shards(span: int):
 
     def _explode(pdfs):
         for pdf in pdfs:
-            o_shard, o_df, o_base, o_blob, o_blocks = [], [], [], [], []
-            for df_, blob, blocks in zip(pdf["df"], pdf["postings"], pdf["blocks"]):
+            o_shard, o_term, o_df, o_base, o_blob, o_blocks = [], [], [], [], [], []
+            for term, df_, blob, blocks in zip(
+                pdf["term"], pdf["df"], pdf["postings"], pdf["blocks"]
+            ):
                 blob = bytes(blob)
                 lasts = np.array([d["last_docid"] for d in blocks], dtype=np.int64)
                 offs = np.array([d["offset"] for d in blocks], dtype=np.int64)
@@ -318,6 +320,7 @@ def _explode_to_shards(span: int):
                     if i0 >= i1:
                         continue
                     o_shard.append(s)
+                    o_term.append(term)
                     o_df.append(int(df_))
                     o_base.append(int(bases[i0]))
                     o_blob.append(blob[offs[i0] : offs[i1 - 1] + nbs[i1 - 1]])
@@ -336,6 +339,7 @@ def _explode_to_shards(span: int):
             yield pd.DataFrame(
                 {
                     "shard": pd.array(o_shard, dtype="int32"),
+                    "term": o_term,
                     "df": pd.array(o_df, dtype="int64"),
                     "base": pd.array(o_base, dtype="int64"),
                     "postings": o_blob,
@@ -383,7 +387,7 @@ def wand_search(
 
     uniq = list(dict.fromkeys(terms))
     rows = prune_buckets(index, uniq).filter(F.col("term").isin(uniq)).select(
-        "df", "postings", "blocks"
+        "term", "df", "postings", "blocks"
     )
     shard_rows = rows.mapInPandas(_explode_to_shards(span), _SHARD_ROWS_DDL)
     ds = index["doc_stats"].select(
@@ -437,4 +441,126 @@ def wand_search(
         )
         .join(index["docid_map"], "doc_int")
         .select("rank", "doc_int", "docid", "score")
+    )
+
+
+WAND_BATCH_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("doc_int", LongType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def wand_search_batch(
+    index: dict[str, DataFrame],
+    query_terms: dict[int, list[str]],
+    top_k: int = 10,
+    tf_mode: str = "true",
+    k1: float = K1,
+    b: float = B,
+    n_shards: int | None = None,
+    docs_per_shard: int = 4_000_000,
+) -> DataFrame:
+    """Score MANY queries in ONE job on the sharded WAND serving path.
+
+    This is the batch analog of :func:`wand_search` and the engine's
+    scale-right query architecture: the union of all queries' posting
+    rows is block-sliced per docid-range shard once, doc lengths arrive
+    per shard once via the cogroup, and each shard task runs the
+    Block-Max WAND kernel for EVERY query against its slice — so the
+    per-batch JVM work is two small exchanges (posting slices, shard
+    top-k rows) regardless of how many candidates the queries touch.
+    The exact DataFrame path shuffles every decoded candidate row
+    (df ~ N per stopword-ish term); on memory-bandwidth-bound hosts
+    that shuffle is the scaling ceiling (BENCH/BASELINE.md), which this
+    path sidesteps: its heavy lifting is numpy kernel work that scales
+    with cores like the index build.
+
+    Returns (query_id, rank, doc_int, docid, score) — rank-identical to
+    ``search_batch(mode="or")`` per query (asserted in tests).
+    """
+    from .query import _stats, prune_buckets
+
+    n_docs, avg_dl = _stats(index)
+    spark = index["postings"].sparkSession
+    if n_docs == 0:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_int long, docid string, score double"
+        )
+    if n_shards is None:
+        n_shards = max(1, -(-n_docs // docs_per_shard))
+    span = -(-n_docs // n_shards)
+    dl_default = float(int(avg_dl))
+
+    uniq = sorted({t for ts in query_terms.values() for t in ts})
+    qlists = {int(q): list(dict.fromkeys(ts)) for q, ts in query_terms.items()}
+    rows = prune_buckets(index, uniq).filter(F.col("term").isin(uniq)).select(
+        "term", "df", "postings", "blocks"
+    )
+    shard_rows = rows.mapInPandas(_explode_to_shards(span), _SHARD_ROWS_DDL)
+    ds = index["doc_stats"].select(
+        ((F.col("doc_int") - 1) / F.lit(span)).cast("int").alias("shard"),
+        "doc_int",
+        "doc_len",
+    )
+
+    def _kernel(key, p_pdf: pd.DataFrame, d_pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        lo, hi = shard * span + 1, (shard + 1) * span + 1
+        if len(p_pdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "doc_int": [], "score": []}
+            ).astype({"query_id": "int64", "doc_int": "int64", "score": "float64"})
+        doc_len = np.full(span + 1, dl_default, dtype=np.float64)
+        if len(d_pdf):
+            doc_len[d_pdf["doc_int"].to_numpy() - lo] = d_pdf["doc_len"].to_numpy()
+        by_term: dict[str, tuple] = {}
+        for term, df_, base, blob, blocks in zip(
+            p_pdf["term"], p_pdf["df"], p_pdf["base"], p_pdf["postings"],
+            p_pdf["blocks"],
+        ):
+            idf = float(np.log((n_docs - int(df_) + 0.5) / (int(df_) + 0.5) + 1.0))
+            bl = [
+                (d["last_docid"], d["max_tf"], d["min_dl"], d["offset"], d["bytes"])
+                for d in blocks
+            ]
+            by_term[term] = (idf, bytes(blob), bl, int(base))
+        out_q, out_d, out_s = [], [], []
+        for qid, terms in qlists.items():
+            term_rows = [by_term[t] for t in terms if t in by_term]
+            if not term_rows:
+                continue
+            res = wand_topk_kernel(
+                term_rows, doc_len, n_docs, avg_dl, top_k, tf_mode, k1, b,
+                doc_lo=lo, doc_hi=hi,
+            )
+            out_q.extend([qid] * len(res))
+            out_d.extend(d for d, _ in res)
+            out_s.extend(s for _, s in res)
+        return pd.DataFrame(
+            {
+                "query_id": pd.array(out_q, dtype="int64"),
+                "doc_int": pd.array(out_d, dtype="int64"),
+                "score": pd.array(out_s, dtype="float64"),
+            }
+        )
+
+    topk = (
+        shard_rows.groupby("shard")
+        .cogroup(ds.groupby("shard"))
+        .applyInPandas(_kernel, WAND_BATCH_SCHEMA)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_int"))
+    return (
+        F.broadcast(
+            topk.withColumn("rank", F.row_number().over(w)).filter(
+                F.col("rank") <= top_k
+            )
+        )
+        .join(index["docid_map"], "doc_int")
+        .select("query_id", "rank", "doc_int", "docid", "score")
     )

@@ -215,3 +215,27 @@ def test_missing_term_count_metric(spark):
     lexicon = spark.createDataFrame([("a",), ("b",)], "term string")
     assert missing_term_count(tokens, lexicon) == 2
     assert missing_term_count(tokens.filter("term != 'zzz'"), lexicon) == 0
+
+
+def test_forward_index_remap(spark):
+    """J2: forward index carries term_ids remapped through the lexicon,
+    positions intact, sorted per doc."""
+    from large_scale_hypertextual_search_engine_spark.operators.index_build import (
+        build_index,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta alpha"), ("d2", "beta gamma")],
+        "docid string, content string",
+    )
+    idx = build_index(docs, mode="simple", stem=False, with_forward_index=True)
+    lex = {r["term"]: r["term_id"] for r in idx["lexicon"].collect()}
+    fwd = {r["doc_int"]: r["postings"] for r in idx["forward_index_ids"].collect()}
+    dmap = {r["docid"]: r["doc_int"] for r in idx["docid_map"].collect()}
+    d1 = fwd[dmap["d1"]]
+    by_tid = {p["term_id"]: p for p in d1}
+    assert by_tid[lex["alpha"]]["freq"] == 2
+    assert list(by_tid[lex["alpha"]]["positions"]) == [1, 3]
+    assert by_tid[lex["beta"]]["freq"] == 1
+    # emission sorted by term_id (deterministic)
+    assert [p["term_id"] for p in d1] == sorted(p["term_id"] for p in d1)

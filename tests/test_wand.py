@@ -102,3 +102,27 @@ def test_wand_kernel_skips_blocks():
     assert [d for d, _ in res] == [5, 19_999]
     # 20000/64 = 313 common blocks exist; skipping must avoid most
     assert decodes["n"] < 100, decodes["n"]
+
+
+@pytest.mark.parametrize("n_shards", [1, 4])
+def test_wand_batch_matches_exact(spark, idx, n_shards):
+    """wand_search_batch: every query's ranking equals the exact OR path."""
+    from large_scale_hypertextual_search_engine_spark.operators.wand import (
+        wand_search_batch,
+    )
+
+    qts = {i: terms for i, terms in enumerate(QUERIES)}
+    got = wand_search_batch(idx, qts, top_k=10, n_shards=n_shards).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["docid"], r["score"]))
+    for qid, terms in qts.items():
+        exact = (
+            search(idx, terms, top_k=10, mode="or", tf_mode="true")
+            .orderBy("rank")
+            .collect()
+        )
+        mine = sorted(by_q.get(qid, []))
+        assert [d for _, d, _ in mine] == [r["docid"] for r in exact], terms
+        for (_, _, s), e in zip(mine, exact):
+            assert s == pytest.approx(e["score"], rel=1e-9)
