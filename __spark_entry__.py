@@ -170,6 +170,23 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline (the
+    oracle-checkable path; the LSH-banded variant is pytest-verified
+    for recall against this)."""
+    from large_scale_hypertextual_search_engine_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 500
+    )
+    pairs = embedding_cosine_pairs(
+        emb, "embedding", "vec_id", threshold=0.4, method="exact"
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from large_scale_hypertextual_search_engine_spark.operators.similarity import (
         cosine_topk,
@@ -484,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocomplete_batch": q_autocomplete_batch,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -694,6 +712,22 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_inter * 1.0 / (sa.n_grams + sb.n_grams - n_inter) >= 0.05""",
+        "dedup_embedding": """
+WITH n AS (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings WHERE vec_id < 500
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(
+    list_sum(list_transform(generate_series(1, len(a.embedding)),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (a.nrm * b.nrm) >= 0.4""",
         "ann_cosine_topk": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 s AS (

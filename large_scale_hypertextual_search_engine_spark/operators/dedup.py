@@ -10,6 +10,9 @@ Four families, all shuffle-frugal:
                  small Hamming distance within rotation buckets.
 * ngram_jaccard— exact shingle-set Jaccard for candidate pairs
                  (explode + self-join on shingle, count / union).
+* embedding    — cosine near-dup over an embedding column: exact
+                 all-pairs baseline, or sign-bit-banded hyperplane LSH
+                 candidates with exact cosine verify (the scale path).
 
 The token hash is the process-stable FNV from textstats (no reliance on
 Python's randomized hash()), so results are reproducible cluster-wide.
@@ -272,6 +275,106 @@ def simhash_near_pairs(
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    method: str = "lsh",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine).
+
+    ``method="exact"`` — all-pairs theta self-join with a pure-Column
+    cosine (double-precision zip_with/aggregate, no UDF). O(n^2): the
+    correctness baseline and the DuckDB-oracle path; never run this
+    standalone at 100 TB.
+
+    ``method="lsh"`` — the scale path: each vector gets an
+    ``n_planes``-bit random-hyperplane sign signature (computed as
+    Column expressions), split into ``bands`` slices; a pair whose
+    vectors have cosine near 1 disagrees on each plane with probability
+    theta/pi, so it agrees on at least one whole slice w.h.p.
+    Candidates = equi-join on (slice, key) — bounded by bucket
+    co-occurrence, never the cross product. Candidate pair IDs are
+    distinct-ed WITHOUT the vectors riding through the shuffle; the
+    (small) surviving pair set re-joins the vectors for an exact-cosine
+    verify, so reported cosines are exact and false positives are
+    impossible — only recall is approximate (tunable via
+    n_planes/bands).
+    """
+    from .similarity import hyperplane_bucket_col
+
+    v = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    vecs = df.select(F.col(id_col).alias("id"), v.alias("v"), nrm.alias("nrm"))
+
+    if method == "exact":
+        a = vecs.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+        )
+        b = vecs.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+        )
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        dim = len(df.select(vec_col).first()[0])
+        planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+        width = n_planes // bands
+        sig = hyperplane_bucket_col(v, planes)
+        sliced = df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(sig, width * t).bitwiseAND(
+                            F.lit((1 << width) - 1)
+                        )
+                        for t in range(bands)
+                    ]
+                )
+            ).alias("tbl", "key"),
+        )
+        pair_ids = (
+            sliced.select(F.col("id").alias("id_a"), "tbl", "key")
+            .join(
+                sliced.select(F.col("id").alias("id_b"), "tbl", "key"),
+                ["tbl", "key"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        cand = pair_ids.join(
+            vecs.select(
+                F.col("id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "id_a",
+        ).join(
+            vecs.select(
+                F.col("id").alias("id_b"),
+                F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "id_b",
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        cand.withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
 
 
 def ngram_jaccard_pairs(

@@ -171,6 +171,62 @@ def test_lsh_bucket_topk_recall(spark, emb_df):
     assert len(set(got) & set(exact)) >= 2  # multiprobe recall sanity
 
 
+def test_embedding_cosine_pairs_exact_matches_numpy(spark, emb_df):
+    from large_scale_hypertextual_search_engine_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+
+    df, rows = emb_df
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(
+            df, "embedding", "vec_id", threshold=0.5, method="exact"
+        ).collect()
+    }
+    M = np.array([v for _, v in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    want = {
+        (i, j): S[i, j]
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if S[i, j] >= 0.5
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, rel=1e-9)
+
+
+def test_embedding_cosine_pairs_lsh_recall(spark):
+    """Near-identical vectors (cosine ~0.999) must survive the banded
+    sign-bit candidate stage; reported cosines are exact (verify join)."""
+    from large_scale_hypertextual_search_engine_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 32))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # ids 100+i are near-dups of i: tiny perturbation
+    rows += [
+        (100 + i, [float(x) for x in base[i] + 0.01 * rng.standard_normal(32)])
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_cosine_pairs(
+        df, "embedding", "vec_id", threshold=0.99, method="lsh",
+        n_planes=16, bands=4,
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    assert found == {(i, 100 + i) for i in range(10)}
+    exact = embedding_cosine_pairs(
+        df, "embedding", "vec_id", threshold=0.99, method="exact"
+    ).collect()
+    want = {(r["id_a"], r["id_b"]): r["cosine"] for r in exact}
+    for r in got:
+        assert r["cosine"] == pytest.approx(want[(r["id_a"], r["id_b"])], rel=1e-12)
+
+
 def test_byte_features_and_decode_stub(spark):
     rows = [(1, b"hello world" * 10), (2, bytes(range(256)))]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
