@@ -102,6 +102,18 @@ def main() -> None:
         "bm25_wand",
         lambda: wand_search(idx, ["spark", "join"], top_k=10).count(),
     )
+    from large_scale_hypertextual_search_engine_spark.operators.wand import (
+        wand_search_batch,
+    )
+
+    qmap: dict[int, list[str]] = {}
+    for q, t in qrows:
+        qmap.setdefault(q, []).append(t)
+    timed(
+        "bm25_wand_batch",
+        lambda: wand_search_batch(idx, qmap, top_k=10).count(),
+    )
+    extra["wand_qps"] = round(qid / timings["bm25_wand_batch"], 2)
     timed("autocomplete", lambda: suggest(idx["lexicon"], "s").count())
     # driver-side serving path: warm per-call latency vs the reference's
     # <100 ms trie target (Auto-complete.hpp:3)
