@@ -83,10 +83,24 @@ def _run(code: str, cores: int) -> dict:
     raise RuntimeError(out.stdout[-1000:] + out.stderr[-1000:])
 
 
+def _best(code: str, cores: int, key: str, reps: int) -> dict:
+    """Best-of-reps per level — the same peak-throughput estimator as
+    bench_scaling.py (hypervisor steal bursts make single samples a
+    dice roll; measured: the identical burn binary scores 347-426
+    iters/s at 4 cores run-to-run)."""
+    runs = [_run(code, cores) for _ in range(reps)]
+    best = max(runs, key=lambda r: r[key])
+    best["reps"] = [r[key] for r in runs]
+    return best
+
+
 def main() -> None:
     n = int(os.environ.get("SCALING_N", "4"))
-    burn_n, burn_4n = _run(_BURN, n), _run(_BURN, 4 * n)
-    jvm_n, jvm_4n = _run(_JVM, n), _run(_JVM, 4 * n)
+    reps = int(os.environ.get("SCALING_REPS", "3"))
+    burn_n = _best(_BURN, n, "iters_per_sec", reps)
+    burn_4n = _best(_BURN, 4 * n, "iters_per_sec", reps)
+    jvm_n = _best(_JVM, n, "rows_per_sec", reps)
+    jvm_4n = _best(_JVM, 4 * n, "rows_per_sec", reps)
     print(json.dumps({
         "python_burn": {
             "n": burn_n, "4n": burn_4n,
