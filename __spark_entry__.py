@@ -355,6 +355,29 @@ def q_events_daily(spark, sf_dir):
     )
 
 
+def q_events_windowed(spark, sf_dir):
+    """Tumbling-window rollup via the STREAMING operator run in batch
+    mode (withWatermark is a no-op on a batch DataFrame — the same code
+    path serves readStream; late-data semantics are asserted in
+    tests/test_streaming_windows.py). Values are summed as scaled longs
+    for FP determinism vs the oracle."""
+    from large_scale_hypertextual_search_engine_spark.streaming.windows import (
+        windowed_event_counts,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "value", F.round(F.col("value") * 1000, 0).cast("long")
+    )
+    out = windowed_event_counts(ev, "1 hour", "30 minutes")
+    return out.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "n_events",
+        (F.col("sum_value") / 1000.0).alias("sum_value"),
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -511,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "window_top_order": q_window_top_order,
         "events_daily": q_events_daily,
+        "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -825,6 +849,14 @@ SELECT o_custkey, o_orderkey, o_totalprice FROM (
                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
   FROM orders
 ) WHERE rn = 1""",
+        "events_windowed": """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT) / 1000.0
+         AS sum_value
+FROM events GROUP BY 1, 2, 3""",
         "events_daily": """
 SELECT CAST(ts AS DATE) AS day, event_type,
   COUNT(*) AS n_events,
