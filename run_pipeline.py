@@ -27,6 +27,7 @@ import json
 import os
 import sys
 import time
+from pathlib import Path
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -148,6 +149,73 @@ def cmd_verify(args) -> None:
         raise SystemExit(1)
 
 
+def cmd_suggest(args) -> None:
+    """Autocomplete over a saved index's lexicon.
+
+    One-shot: print top suggestions for --prefix. With --interactive,
+    collect the lexicon once into an AutocompleteServer and serve a
+    stdin prompt loop warm (microseconds per prefix — the reference's
+    <100 ms Auto-complete.hpp target, beaten driver-side)."""
+    from large_scale_hypertextual_search_engine_spark.operators.autocomplete import (
+        AutocompleteServer,
+    )
+    from large_scale_hypertextual_search_engine_spark.plans.lineage import load_index
+
+    spark = _spark("lshse-suggest")
+    lex = load_index(spark, args.index)["lexicon"]
+    srv = AutocompleteServer(lex)
+    if args.interactive:
+        import sys as _sys
+
+        for line in _sys.stdin:
+            prefix = line.strip()
+            if not prefix:
+                continue
+            t0 = time.time()
+            hits = srv.suggest(prefix, max_suggestions=args.top_k)
+            us = (time.time() - t0) * 1e6
+            for term, tf in hits:
+                print(f"  {tf:10d}  {term}")
+            print(json.dumps({"prefix": prefix, "latency_us": round(us, 1)}))
+    else:
+        t0 = time.time()
+        hits = srv.suggest(args.prefix, max_suggestions=args.top_k)
+        us = (time.time() - t0) * 1e6
+        for term, tf in hits:
+            print(f"  {tf:10d}  {term}")
+        print(json.dumps({"prefix": args.prefix, "hits": len(hits),
+                          "latency_us": round(us, 1)}))
+    spark.stop()
+
+
+def cmd_stats(args) -> None:
+    """Index/runtime report: per-table on-disk size, per-stage wall
+    times from the lineage metadata, driver RSS + JVM heap — the
+    engine's Perfomance-monitor analog."""
+    from large_scale_hypertextual_search_engine_spark.operators.metrics import (
+        index_size_metrics, memory_metrics,
+    )
+
+    out = {"index_size": index_size_metrics(args.index)}
+    stages = {}
+    root = Path(args.index)
+    for meta in sorted(root.glob("*/_stage_meta.json")):
+        try:
+            stages[meta.parent.name] = json.loads(meta.read_text())
+        except (OSError, ValueError):
+            pass
+    if stages:
+        out["stages"] = stages
+    metrics_file = root / "metrics.jsonl"
+    if metrics_file.exists():
+        out["metrics_tail"] = [
+            json.loads(line)
+            for line in metrics_file.read_text().splitlines()[-10:]
+        ]
+    out["memory"] = memory_metrics()
+    print(json.dumps(out, indent=2))
+
+
 def cmd_package(args) -> None:
     """Zip the package for --py-files."""
     import zipfile
@@ -189,6 +257,18 @@ def main() -> None:
     p.add_argument("--stem", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--wand", action="store_true", help="Block-Max WAND path")
     p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("suggest", help="autocomplete over a saved index")
+    p.add_argument("--index", required=True)
+    p.add_argument("--prefix", default="")
+    p.add_argument("--top-k", type=int, default=10)
+    p.add_argument("--interactive", action="store_true",
+                   help="warm stdin prompt loop (collected-lexicon server)")
+    p.set_defaults(fn=cmd_suggest)
+
+    p = sub.add_parser("stats", help="index size / stage wall / memory report")
+    p.add_argument("--index", required=True)
+    p.set_defaults(fn=cmd_stats)
 
     p = sub.add_parser("verify", help="per-row sha256 integrity check")
     p.add_argument("--input", required=True)
