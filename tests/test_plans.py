@@ -1,0 +1,89 @@
+"""Physical-plan regression tests.
+
+These assert the *plan shape* properties the engine's scale story
+depends on — they catch silent regressions (a filter that stops
+reaching the scan, a kernel that starts running twice, a join that
+stops broadcasting) that row-level correctness tests cannot see.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, tmp_path_factory):
+    from large_scale_hypertextual_search_engine_spark.plans.lineage import (
+        build_and_save_index, load_index,
+    )
+
+    out = str(tmp_path_factory.mktemp("planidx"))
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("cast(doc_id as string) as docid", "text as content")
+        .limit(120)
+    )
+    build_and_save_index(docs, out, "plan-test", mode="simple", stem=False)
+    return load_index(spark, out)
+
+
+def test_term_filter_reaches_postings_scan(spark, small_index):
+    from large_scale_hypertextual_search_engine_spark.operators.query import (
+        decode_postings_df, prune_buckets,
+    )
+
+    terms = ["the", "and"]
+    d = decode_postings_df(prune_buckets(small_index, terms), terms)
+    plan = _plan(d)
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan_lines, plan
+    # the term predicate must be applied AT the scan (DataFilters), not
+    # in a post-scan Filter over the full table
+    assert any("term" in l and " IN " in l for l in scan_lines), scan_lines
+
+
+def test_search_batch_single_decode_single_repartition(spark, small_index):
+    from large_scale_hypertextual_search_engine_spark.operators.query import (
+        search_batch,
+    )
+
+    q = spark.createDataFrame(
+        [(0, "the"), (1, "the"), (1, "and")], "query_id long, term string"
+    )
+    plan = _plan(search_batch(small_index, q, top_k=5))
+    # the decode kernel must run exactly once (round-1 bug: a second
+    # aggregate forced the whole decode to execute twice)
+    assert len(re.findall(r"MapInPandas", plan)) == 1, plan
+    # the decoded-candidates frame crosses the wire exactly once: the
+    # explicit query_id repartition that serves both the per-doc agg
+    # and the final top-k window
+    assert len(re.findall(r"REPARTITION_BY_NUM", plan)) == 1, plan
+
+
+def test_textstats_plans_are_python_free(spark):
+    from large_scale_hypertextual_search_engine_spark.operators.textstats import (
+        language_id, quality_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    for df in (
+        quality_features(docs, "text", ("the",)),
+        language_id(docs, "text"),
+    ):
+        plan = _plan(df)
+        assert not re.search(r"EvalPython|InPandas", plan), plan
+
+
+def test_tpch_q3_broadcasts_small_sides(spark):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_tpch_q3(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
