@@ -206,6 +206,83 @@ def build_and_save_index(
     }
 
 
+def build_and_save_index_from_tokens(
+    tokens: DataFrame,
+    out_dir: str,
+    fingerprint: str,
+    *,
+    salt_buckets: int | None = None,
+    block_size: int = 128,
+    n_buckets: int = 10,
+) -> dict[str, DataFrame]:
+    """Resumable build over a PRE-TOKENIZED frame
+    ``(docid, term, positions, tf, doc_len)`` — the mid-stream entry
+    (S5): a reference-produced ``cleaned.jsonl`` read back via
+    ``sources.ingest.read_cleaned_jsonl`` + ``cleaned_to_tokens`` is
+    indexed without re-extraction or re-analysis. Stage graph and table
+    schemas are identical to :func:`build_and_save_index` minus the
+    docs_ids/tokens stages, so ``load_index`` + every query path work
+    unchanged on the result."""
+    from ..operators.ids import assign_dense_ids, release_id_caches
+    from ..operators.index_build import build_postings, term_bucket_col
+    from pyspark.sql import functions as F
+
+    spark = tokens.sparkSession
+    d = out_dir.rstrip("/")
+    docid_map = run_stage(
+        spark, "docid_map", f"{d}/docid_map", fingerprint,
+        lambda: assign_dense_ids(
+            tokens.select("docid").distinct(), "docid", "doc_int"
+        ),
+    )
+    n_docs = docid_map.count()
+    toks = tokens.join(docid_map, "docid")
+    doc_stats = run_stage(
+        spark, "doc_stats", f"{d}/doc_stats", fingerprint,
+        lambda: toks.select("docid", "doc_int", "doc_len").distinct(),
+    )
+    collection_stats = run_stage(
+        spark, "collection_stats", f"{d}/collection_stats", fingerprint,
+        lambda: doc_stats.agg(
+            F.lit(n_docs).cast("long").alias("n_docs"),
+            (F.sum("doc_len") / F.lit(n_docs)).alias("avg_dl"),
+        ),
+    )
+    postings = run_stage(
+        spark, "postings", f"{d}/postings", fingerprint,
+        lambda: build_postings(
+            toks.select("term", "doc_int", "positions", "doc_len"),
+            n_docs,
+            block_size=block_size,
+            salt_buckets=salt_buckets,
+        ).withColumn("bucket_id", term_bucket_col(n_buckets)),
+        partition_by=["bucket_id"],
+        sort_by=["term"],
+        extra_meta={"n_buckets": n_buckets},
+    )
+    lexicon = run_stage(
+        spark, "lexicon", f"{d}/lexicon", fingerprint,
+        lambda: assign_dense_ids(
+            postings.select("term", "df", "tf", F.length("postings").alias("bytes")),
+            "term",
+            "term_id",
+        ).select(
+            "term_id", "term", "df", "tf", "bytes",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket_id"),
+        ),
+        sort_by=["term"],
+    )
+    release_id_caches()
+    return {
+        "docid_map": docid_map,
+        "doc_stats": doc_stats,
+        "collection_stats": collection_stats,
+        "postings": postings,
+        "lexicon": lexicon,
+        "terms_list": lexicon.select("term", "term_id"),
+    }
+
+
 def load_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
     d = out_dir.rstrip("/")
     out = {

@@ -54,6 +54,20 @@ def cmd_index(args) -> None:
     from pyspark.sql import functions as F
 
     spark = _spark("lshse-index")
+    if args.input_format == "cleaned-jsonl":
+        fp = _fingerprint(args.input, f"cleaned:{args.salt_buckets}")
+        if not args.resume:
+            fp = f"{fp}:{int(time.time())}"
+        t0 = time.time()
+        idx, extra = _index_from_cleaned(spark, args, fp)
+        wall = time.time() - t0
+        print(json.dumps({
+            "n_docs": idx["docid_map"].count(),
+            "n_terms": idx["lexicon"].count(),
+            "wall_s": round(wall, 2), **extra,
+        }))
+        spark.stop()
+        return
     docs = spark.read.parquet(args.input)
     cols = set(docs.columns)
     if {"repo", "path", "commit", "content"} <= cols:
@@ -147,6 +161,54 @@ def cmd_verify(args) -> None:
     spark.stop()
     if bad:
         raise SystemExit(1)
+
+
+def cmd_clean(args) -> None:
+    """Reference-cleaner analog: extracted TSV or a CORD-19-shaped JSON
+    directory -> cleaned.jsonl (the reference's mid-stream artifact;
+    readable back by `index --input-format cleaned-jsonl`)."""
+    from large_scale_hypertextual_search_engine_spark.sources.cleaner import (
+        clean_documents, cleaned_jsonl_sink,
+    )
+
+    spark = _spark("lshse-clean")
+    if args.format == "tsv":
+        from large_scale_hypertextual_search_engine_spark.sources.ingest import (
+            read_extracted_tsv,
+        )
+
+        extracted = read_extracted_tsv(spark, args.input)
+    else:  # cord19 json dir
+        from large_scale_hypertextual_search_engine_spark.sources.extractor import (
+            extract_dir,
+        )
+
+        extracted = extract_dir(spark, args.input)
+    cleaned = clean_documents(extracted, stem=args.stem)
+    cleaned_jsonl_sink(cleaned, args.out)
+    print(json.dumps({"n_docs": cleaned.count(), "out": args.out}))
+    spark.stop()
+
+
+def _index_from_cleaned(spark, args, fp: str):
+    """index --input-format cleaned-jsonl: S5 mid-stream restart."""
+    from large_scale_hypertextual_search_engine_spark.plans.lineage import (
+        build_and_save_index_from_tokens,
+    )
+    from large_scale_hypertextual_search_engine_spark.sources.cleaner import (
+        cleaned_to_tokens,
+    )
+    from large_scale_hypertextual_search_engine_spark.sources.ingest import (
+        read_cleaned_jsonl,
+    )
+
+    cleaned, corrupt = read_cleaned_jsonl(spark, args.input)
+    n_corrupt = corrupt.count()
+    idx = build_and_save_index_from_tokens(
+        cleaned_to_tokens(cleaned), args.out, fp,
+        salt_buckets=args.salt_buckets, block_size=args.block_size,
+    )
+    return idx, {"corrupt_lines_skipped": n_corrupt}
 
 
 def cmd_suggest(args) -> None:
@@ -245,7 +307,18 @@ def main() -> None:
     p.add_argument("--block-size", type=int, default=128)
     p.add_argument("--resume", action="store_true",
                    help="skip stages whose checkpoint fingerprint matches")
+    p.add_argument("--input-format", default="parquet",
+                   choices=["parquet", "cleaned-jsonl"],
+                   help="cleaned-jsonl: index a (reference-produced) "
+                        "cleaned.jsonl without re-extraction")
     p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("clean", help="extracted TSV / CORD-19 JSON -> cleaned.jsonl")
+    p.add_argument("--input", required=True)
+    p.add_argument("--format", default="tsv", choices=["tsv", "cord19"])
+    p.add_argument("--out", required=True)
+    p.add_argument("--stem", action=argparse.BooleanOptionalAction, default=True)
+    p.set_defaults(fn=cmd_clean)
 
     p = sub.add_parser("search", help="BM25 top-k over a saved index")
     p.add_argument("--index", required=True)

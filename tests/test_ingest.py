@@ -112,3 +112,29 @@ def test_tsv_sink_roundtrip(spark, tmp_path):
     )
     written = sorted(r["value"] for r in spark.read.text(out).collect())
     assert written == golden
+
+
+def test_build_and_save_index_from_tokens_resume_and_search(spark, tmp_path):
+    """The S5 mid-stream CLI path: cleaned.jsonl -> resumable saved
+    index -> load_index -> BM25 search, with stage-skip on re-run."""
+    from large_scale_hypertextual_search_engine_spark.operators.query import search
+    from large_scale_hypertextual_search_engine_spark.plans.lineage import (
+        build_and_save_index_from_tokens, load_index, stage_meta,
+    )
+
+    cleaned, corrupt = read_cleaned_jsonl(spark, str(REF / "cleaner3.jsonl"))
+    assert corrupt.count() == 0
+    tokens = cleaned_to_tokens(cleaned)
+    out = str(tmp_path / "idx")
+    build_and_save_index_from_tokens(tokens, out, "fp1", salt_buckets=2)
+    meta1 = stage_meta(f"{out}/postings")
+    assert meta1["committed"] and meta1["fingerprint"] == "fp1"
+
+    idx = load_index(spark, out)
+    hits = search(idx, ["immun"], top_k=5, mode="and", tf_mode="true").collect()
+    assert hits and all(r["score"] > 0 for r in hits)
+
+    # identical fingerprint -> every stage resumes (wall times ~0)
+    build_and_save_index_from_tokens(tokens, out, "fp1", salt_buckets=2)
+    meta2 = stage_meta(f"{out}/postings")
+    assert meta2["wall_ms"] == meta1["wall_ms"]
