@@ -102,10 +102,29 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, id_col, "left_semi")
 
 
-def _shingles(tokens: list[str], k: int) -> list[int]:
-    if len(tokens) < k:
-        return [hash_token(" ".join(tokens))] if tokens else []
-    return [hash_token(" ".join(tokens[i : i + k])) for i in range(len(tokens) - k + 1)]
+_SHINGLE_BASE = np.uint64(1_000_003)
+
+
+def _shingles(tokens: list[str], k: int) -> np.ndarray:
+    """uint64 hashes (< 2^61-1) of the k-token shingles of ``tokens``.
+
+    Vectorized: per-token FNV hashes (memoized — Zipf reuse) combined
+    into shingle hashes by a k-step rolling polynomial
+    S[i] = Σ_j B^(k-1-j)·h(tok[i+j]) mod p, all in exact
+    :func:`_modmul61` array ops — no per-shingle string building, no
+    per-shingle byte loop. Docs shorter than k collapse to one shingle
+    over all their tokens (same shape as before)."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    th = np.array([hash_token(t) for t in tokens], dtype=np.uint64)
+    kk = min(k, len(tokens))
+    n_out = len(tokens) - kk + 1
+    acc = np.zeros(n_out, dtype=np.uint64)
+    base = np.broadcast_to(_SHINGLE_BASE, (n_out,))
+    for j in range(kk):
+        acc = _modmul61(base, acc) + th[j : j + n_out]
+        acc = np.where(acc >= _MERSENNE, acc - _MERSENNE, acc)
+    return acc
 
 
 def minhash_signatures(
@@ -132,13 +151,13 @@ def minhash_signatures(
             out = []
             for text in batch:
                 toks = [t for t in (text or "").split(" ") if t]
-                sh = np.array(_shingles(toks, shingle_k), dtype=np.uint64)
+                sh = _shingles(toks, shingle_k)
                 if sh.size == 0:
                     out.append([0] * num_hashes)
                     continue
                 # (H, S) permuted hashes under the true universal family
                 # (a*h + b) mod (2^61-1) — 128-bit-exact split multiply
-                h = np.broadcast_to(sh % _MERSENNE, (num_hashes, sh.size))
+                h = np.broadcast_to(sh, (num_hashes, sh.size))
                 a = np.broadcast_to(A[:, None], h.shape)
                 vals = _modmul61(a, h) + Bv[:, None]
                 vals = np.where(vals >= _MERSENNE, vals - _MERSENNE, vals)

@@ -165,10 +165,24 @@ def fingerprint_udf():
     return _fp
 
 
+_HASH_MEMO: dict[str, int] = {}
+_HASH_MEMO_CAP = 2_000_000  # bound worker memory on adversarial vocab
+
+
 def hash_token(tok: str) -> int:
-    """Deterministic 61-bit FNV-1a-style token hash (process-stable)."""
+    """Deterministic 61-bit FNV-1a-style token hash (process-stable).
+
+    Memoized per worker: token frequency is Zipfian, so the per-byte
+    Python loop runs roughly once per VOCABULARY entry, not once per
+    occurrence (same trick as the stemmer memo)."""
+    h = _HASH_MEMO.get(tok)
+    if h is not None:
+        return h
     h = 0xCBF29CE484222325
     for b in tok.encode("utf-8"):
         h ^= b
         h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h % ((1 << 61) - 1)
+    h %= (1 << 61) - 1
+    if len(_HASH_MEMO) < _HASH_MEMO_CAP:
+        _HASH_MEMO[tok] = h
+    return h

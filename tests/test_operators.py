@@ -65,7 +65,7 @@ def test_minhash_estimates_jaccard(spark, dup_docs):
     sh = _shingles(toks, 3)
     # exact python-int oracle of the universal family (a*h + b) mod p
     expect = [
-        min((int(A[i]) * (h % M) + int(Bv[i])) % M for h in sh)
+        min((int(A[i]) * (int(h) % M) + int(Bv[i])) % M for h in sh)
         for i in range(64)
     ]
     assert sigs[1] == expect
