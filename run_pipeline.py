@@ -211,6 +211,41 @@ def _index_from_cleaned(spark, args, fp: str):
     return idx, {"corrupt_lines_skipped": n_corrupt}
 
 
+def cmd_dedup(args) -> None:
+    """Training-data dedup over a parquet corpus: write (or print) the
+    duplicate groups / near-dup pairs for the chosen method."""
+    from large_scale_hypertextual_search_engine_spark.operators import dedup as D
+
+    spark = _spark("lshse-dedup")
+    df = spark.read.parquet(args.input)
+    if args.method == "exact":
+        out = D.exact_duplicates(df, args.text_col, args.id_col)
+    elif args.method == "minhash":
+        out = D.minhash_lsh_pairs(
+            df, args.text_col, args.id_col, threshold=args.threshold
+        )
+    elif args.method == "simhash":
+        out = D.simhash_near_pairs(df, args.text_col, args.id_col)
+    elif args.method == "ngram":
+        out = D.ngram_jaccard_pairs(
+            df, args.text_col, args.id_col, threshold=args.threshold
+        )
+    else:  # embedding
+        out = D.embedding_cosine_pairs(
+            df, args.vec_col, args.id_col, threshold=args.threshold
+        )
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+    else:
+        rows = out.limit(20).collect()
+        for r in rows:
+            print(dict(r.asDict()))
+        n = out.count()
+    print(json.dumps({"method": args.method, "pairs": n, "out": args.out}))
+    spark.stop()
+
+
 def cmd_suggest(args) -> None:
     """Autocomplete over a saved index's lexicon.
 
@@ -338,6 +373,17 @@ def main() -> None:
     p.add_argument("--interactive", action="store_true",
                    help="warm stdin prompt loop (collected-lexicon server)")
     p.set_defaults(fn=cmd_suggest)
+
+    p = sub.add_parser("dedup", help="exact/near-dup detection over a corpus")
+    p.add_argument("--input", required=True)
+    p.add_argument("--method", default="minhash",
+                   choices=["exact", "minhash", "simhash", "ngram", "embedding"])
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--out", default=None, help="parquet output (default: print)")
+    p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser("stats", help="index size / stage wall / memory report")
     p.add_argument("--index", required=True)
