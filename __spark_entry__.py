@@ -442,6 +442,27 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN: coarse k-means cells, table partitioned by
+    centroid_id, nprobe-pruned probe + exact re-rank. k-means centroids
+    are not SQL-expressible, so this is a rows-only entry; recall and
+    partition pruning are pytest-asserted
+    (tests/test_operators.py::test_ivf_partitioned_prunes_and_recalls)."""
+    import hashlib as _hl
+
+    from large_scale_hypertextual_search_engine_spark.operators.similarity import (
+        ivf_topk, write_ivf_partitioned,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = f"/tmp/ann_ivf_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+    write_ivf_partitioned(emb, path, n_centroids=16, seed=42)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return ivf_topk(spark, path, qvec, k=10, nprobe=4).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+
+
 def _ann_lsh_oracle_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
     """DuckDB oracle for q_ann_lsh: the SAME rng hyperplanes embedded as
     SQL literals, bucket = packed sign bits, multiprobe=1 candidates =
@@ -540,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "text_fingerprint": q_text_fingerprint,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "ft_compat_analyzer": q_ft_compat_analyzer,
     }
 

@@ -197,6 +197,106 @@ def _vec_dim(df: DataFrame, vec_col: str) -> int:
     return len(df.select(vec_col).first()[0])
 
 
+# ---------------------------------------------------------------- IVF
+
+
+def _kmeans_fit(sample: np.ndarray, k: int, iters: int = 20, seed: int = 42):
+    """Deterministic spherical k-means on a driver-side sample.
+
+    Centroid training needs only a bounded sample (standard IVF
+    practice: train on ~max(10k, 40·k) vectors); ASSIGNMENT is the
+    distributed part. numpy keeps it dependency-free and bit-stable
+    across runs — no MLlib model serialization in the index layout."""
+    rng = np.random.default_rng(seed)
+    Xn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    C = Xn[rng.choice(len(Xn), size=min(k, len(Xn)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(C.shape[0]):
+            members = Xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                C[c] = m / max(float(np.linalg.norm(m)), 1e-12)
+    return C
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """mapInPandas-free assignment: a pandas UDF computing
+    argmax_c <v/|v|, centroid_c> per row with one GEMM per Arrow batch."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(IntegerType())
+    def _assign(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in it:
+            if not len(batch):
+                yield pd.Series([], dtype="int32")
+                continue
+            M = np.stack(batch.to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            yield pd.Series(np.argmax(Mn @ C.T, axis=1).astype("int32"))
+
+    return _assign
+
+
+def write_ivf_partitioned(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_sample: int = 10_000,
+) -> np.ndarray:
+    """Materialize an IVF-flat index: vectors stored partitioned by
+    nearest-centroid id, centroids saved alongside. A query then reads
+    only its ``nprobe`` closest partitions — the coarse-quantizer
+    analog of the LSH-bucketed table, with data-adaptive cells."""
+    import json as _json
+    from pathlib import Path
+
+    sample = np.stack([
+        np.asarray(r[vec_col], dtype=np.float64)
+        for r in df.select(vec_col).limit(train_sample).collect()
+    ])
+    C = _kmeans_fit(sample, n_centroids, seed=seed)
+    (
+        df.withColumn("centroid_id", ivf_assign_udf(C)(F.col(vec_col)))
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    p = Path(path) / "_ivf_centroids.json"
+    p.write_text(_json.dumps({"centroids": C.tolist()}))
+    return C
+
+
+def ivf_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN over a :func:`write_ivf_partitioned` table: rank centroids
+    driver-side, push the nprobe nearest as a PARTITION predicate
+    (only those directories are listed/read), exact cosine re-rank
+    inside."""
+    import json as _json
+    from pathlib import Path
+
+    C = np.asarray(
+        _json.loads((Path(path) / "_ivf_centroids.json").read_text())["centroids"]
+    )
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    probes = np.argsort(-(C @ qn))[: min(nprobe, len(C))]
+    df = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin([int(x) for x in probes])
+    )
+    return cosine_topk(df, query_vec, k, vec_col, id_col)
+
+
 def lsh_partitioned_topk(
     spark,
     path: str,
