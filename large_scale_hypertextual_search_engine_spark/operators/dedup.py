@@ -184,10 +184,11 @@ def minhash_lsh_pairs(
     estimated Jaccard (signature agreement rate) filters at `threshold`.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, seed
+    ).cache()
     banded = sigs.select(
         F.col(id_col),
-        "sig",
         F.posexplode(
             F.array(
                 *[
@@ -202,17 +203,24 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_hash"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
-    )
-    pairs = (
+    # candidate pair IDs only — the 128-long signatures must NOT ride
+    # through the bucket join + distinct (a hot band bucket with B docs
+    # emits B^2/2 rows; shipping 1 KB of sig per row made THAT shuffle
+    # the whole job's cost). The deduped pair set re-joins the (small)
+    # signatures frame — broadcast-sized up to ~10M docs per executor
+    # memory, hash join beyond.
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    pair_ids = (
         left.join(right, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    pairs = pair_ids.join(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(
+        sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
     )
     agree = F.size(
         F.filter(
