@@ -246,6 +246,55 @@ def cmd_dedup(args) -> None:
     spark.stop()
 
 
+def cmd_ann(args) -> None:
+    """ANN over an embeddings table: build a bucket-partitioned index
+    (--build, methods lsh|ivf) or query one (--query-id / --query-vec).
+    Probes read only the pruned partition directories."""
+    from large_scale_hypertextual_search_engine_spark.operators import (
+        similarity as S,
+    )
+
+    spark = _spark("lshse-ann")
+    if args.build:
+        df = spark.read.parquet(args.input)
+        if args.method == "ivf":
+            S.write_ivf_partitioned(
+                df, args.index, n_centroids=args.cells, vec_col=args.vec_col
+            )
+        else:
+            S.write_lsh_partitioned(
+                df, args.index, n_planes=args.planes, vec_col=args.vec_col
+            )
+        print(json.dumps({"built": args.index, "method": args.method,
+                          "rows": spark.read.parquet(args.index).count()}))
+        spark.stop()
+        return
+    if args.query_id is not None:
+        from pyspark.sql import functions as F
+
+        src = spark.read.parquet(args.input)
+        qvec = [float(x) for x in src.filter(
+            F.col(args.id_col) == args.query_id
+        ).collect()[0][args.vec_col]]
+    else:
+        qvec = [float(x) for x in args.query_vec.split(",")]
+    t0 = time.time()
+    if args.method == "ivf":
+        res = S.ivf_topk(spark, args.index, qvec, k=args.top_k,
+                         nprobe=args.nprobe, vec_col=args.vec_col,
+                         id_col=args.id_col)
+    else:
+        res = S.lsh_partitioned_topk(spark, args.index, qvec, k=args.top_k,
+                                     n_planes=args.planes, vec_col=args.vec_col,
+                                     id_col=args.id_col)
+    rows = res.collect()
+    for i, r in enumerate(rows, 1):
+        print(f"{i:3d}  {r['score']:10.6f}  {r[args.id_col]}")
+    print(json.dumps({"latency_ms": round((time.time() - t0) * 1000, 1),
+                      "hits": len(rows)}))
+    spark.stop()
+
+
 def cmd_suggest(args) -> None:
     """Autocomplete over a saved index's lexicon.
 
@@ -373,6 +422,21 @@ def main() -> None:
     p.add_argument("--interactive", action="store_true",
                    help="warm stdin prompt loop (collected-lexicon server)")
     p.set_defaults(fn=cmd_suggest)
+
+    p = sub.add_parser("ann", help="approximate nearest neighbors (lsh|ivf)")
+    p.add_argument("--input", required=True, help="embeddings parquet")
+    p.add_argument("--index", required=True, help="partitioned ANN table path")
+    p.add_argument("--method", default="ivf", choices=["lsh", "ivf"])
+    p.add_argument("--build", action="store_true")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--cells", type=int, default=64, help="ivf centroids")
+    p.add_argument("--planes", type=int, default=8, help="lsh hyperplanes")
+    p.add_argument("--nprobe", type=int, default=4)
+    p.add_argument("--top-k", type=int, default=10)
+    p.add_argument("--query-id", type=int, default=None)
+    p.add_argument("--query-vec", default=None, help="comma-separated floats")
+    p.set_defaults(fn=cmd_ann)
 
     p = sub.add_parser("dedup", help="exact/near-dup detection over a corpus")
     p.add_argument("--input", required=True)
