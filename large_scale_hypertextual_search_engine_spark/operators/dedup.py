@@ -31,6 +31,12 @@ from .textstats import hash_token
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
+# minhash signature caches, bounded like operators.ids._LIVE_CACHES:
+# re-entry releases the oldest so repeated dedup runs in one session
+# (or per-micro-batch streaming use) can't accumulate pinned datasets.
+_LIVE_SIG_CACHES: list[DataFrame] = []
+_MAX_LIVE_SIGS = 2
+
 
 def _modmul61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
     """(a * h) mod (2^61 - 1) with full 128-bit precision, in uint64.
@@ -187,6 +193,9 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k, seed
     ).cache()
+    _LIVE_SIG_CACHES.append(sigs)
+    while len(_LIVE_SIG_CACHES) > _MAX_LIVE_SIGS:
+        _LIVE_SIG_CACHES.pop(0).unpersist()
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
