@@ -145,6 +145,18 @@ def cmd_search(args) -> None:
     wall = time.time() - t0
     for r in sorted(rows, key=lambda r: r["rank"]):
         print(f"{r['rank']:3d}  {r['score']:12.6f}  {r['docid']}")
+    # the reference's Perfomance-monitor records every query's latency;
+    # `stats --index` reads this back (metrics_tail / latency_stats)
+    from large_scale_hypertextual_search_engine_spark.plans.lineage import (
+        record_metrics,
+    )
+
+    record_metrics(args.index, "search", [{
+        "stage": "query", "key": "latency_ms",
+        "value": round(wall * 1000, 1),
+        "query": args.query, "path": "wand" if args.wand else "exact",
+        "hits": len(rows),
+    }])
     print(json.dumps({"latency_ms": round(wall * 1000, 1), "hits": len(rows)}))
     spark.stop()
 
