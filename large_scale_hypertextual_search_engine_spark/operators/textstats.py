@@ -146,6 +146,8 @@ def fingerprint_udf():
     streaming path can extend it per appended chunk).
     """
 
+    base, mod = int(_FP_BASE), int(_FP_MOD)
+
     @F.pandas_udf(LongType())
     def _fp(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in it:
@@ -153,13 +155,16 @@ def fingerprint_udf():
             for i, text in enumerate(batch):
                 if not text:
                     continue
-                acc = np.uint64(0)
+                # exact python-int horner loop: acc*base can exceed
+                # 2^64, and numpy uint64 would wrap mod 2^64 BEFORE the
+                # mod-p reduction, silently changing the hash family
+                # (the round-1 minhash bug class). hash_token is
+                # memoized, so the per-token cost is the two int ops.
+                acc = 0
                 for tok in text.split(" "):
-                    if not tok:
-                        continue
-                    h = np.uint64(hash_token(tok))
-                    acc = (acc * _FP_BASE + h) % _FP_MOD
-                out[i] = int(acc)
+                    if tok:
+                        acc = (acc * base + hash_token(tok)) % mod
+                out[i] = acc
             yield pd.Series(out)
 
     return _fp

@@ -227,6 +227,39 @@ def test_embedding_cosine_pairs_lsh_recall(spark):
         assert r["cosine"] == pytest.approx(want[(r["id_a"], r["id_b"])], rel=1e-12)
 
 
+def test_fingerprint_matches_exact_polynomial(spark):
+    """The rolling-hash kernel must equal the documented polynomial
+    Σ B^i·h(tok) mod 2^61-1 under EXACT integer arithmetic — numpy
+    uint64 would wrap acc·B mod 2^64 first (the round-1 minhash bug
+    class), silently changing the hash family."""
+    from large_scale_hypertextual_search_engine_spark.operators.textstats import (
+        fingerprint_udf, hash_token,
+    )
+
+    texts = [
+        "alpha beta gamma delta " * 50,   # long doc -> acc spans full 61 bits
+        "x",
+        "",
+        "one two",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", fingerprint_udf()(F.col("text")).alias("fp")
+        ).collect()
+    }
+    M, B = (1 << 61) - 1, 1_000_003
+    for i, t in enumerate(texts):
+        acc = 0
+        for tok in t.split(" "):
+            if tok:
+                acc = (acc * B + hash_token(tok)) % M
+        assert got[i] == acc, i
+
+
 def test_ivf_partitioned_prunes_and_recalls(spark, tmp_path):
     from large_scale_hypertextual_search_engine_spark.operators.similarity import (
         ivf_topk, write_ivf_partitioned,
