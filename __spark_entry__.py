@@ -162,9 +162,14 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
-        F.col("doc_id") < 100
+        F.col("doc_id") < 500
     )
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.05)
+    # max_gram_df=None: the DuckDB oracle computes UNCAPPED Jaccard, so
+    # the capped default must not silently diverge at larger SFs; the
+    # df-capped scale path is exercised by test_ngram_hot_shingle_cap
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.2, max_gram_df=None
+    )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -312,7 +317,7 @@ def q_tpch_q5(spark, sf_dir):
     j = (
         li.withColumn("rev_i", pc * (100 - dc))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -735,7 +740,7 @@ ORDER BY n_docs DESC, digest ASC LIMIT 100""",
         "dedup_ngram_jaccard": """
 WITH docs AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
-  FROM documents WHERE doc_id < 100
+  FROM documents WHERE doc_id < 500
 ),
 grams AS (
   SELECT doc_id,
@@ -757,7 +762,7 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE n_inter * 1.0 / (sa.n_grams + sb.n_grams - n_inter) >= 0.05""",
+WHERE n_inter * 1.0 / (sa.n_grams + sb.n_grams - n_inter) >= 0.2""",
         "dedup_embedding": """
 WITH n AS (
   SELECT vec_id, embedding,

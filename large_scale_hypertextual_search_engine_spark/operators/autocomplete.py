@@ -114,6 +114,9 @@ class AutocompleteServer:
             return []
         tfs = self._tfs[lo:hi]
         k = min(max_suggestions, tfs.size)
-        cand = np.argpartition(-tfs, k - 1)[:k] if tfs.size > k else np.arange(tfs.size)
-        order = sorted(cand, key=lambda i: (-int(tfs[i]), str(self._terms[lo + i])))
+        # the slice is term-ascending by construction, so a STABLE sort
+        # on -tf alone realizes (tf desc, term asc) exactly — argpartition
+        # on tf broke ties at the k-th boundary arbitrarily vs the Spark
+        # suggest/suggest_many paths (r2 advice)
+        order = np.argsort(-tfs, kind="stable")[:k]
         return [(str(self._terms[lo + i]), int(tfs[i])) for i in order]

@@ -248,6 +248,8 @@ def simhash_udf(num_bits: int = 64):
     """64-bit SimHash over tokens (Arrow kernel): sign of the sum of
     per-token bit projections, weighted by token frequency."""
 
+    bit_shifts = np.arange(num_bits, dtype=np.uint64)
+
     @F.pandas_udf(LongType())
     def _simhash(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in it:
@@ -256,16 +258,17 @@ def simhash_udf(num_bits: int = 64):
                 toks = [t for t in (text or "").split(" ") if t]
                 if not toks:
                     continue
-                acc = np.zeros(num_bits, dtype=np.int64)
                 uniq, counts = np.unique(np.array(toks), return_counts=True)
-                for tok, c in zip(uniq, counts):
-                    h = np.uint64(hash_token(tok))
-                    bits = (h >> np.arange(num_bits, dtype=np.uint64)) & np.uint64(1)
-                    acc += np.where(bits == 1, c, -c)
-                sig = np.uint64(0)
-                for bpos in range(num_bits):
-                    if acc[bpos] > 0:
-                        sig |= np.uint64(1) << np.uint64(bpos)
+                # one (U, num_bits) outer unpack of the token hashes
+                # instead of a per-token Python loop (r2 advice):
+                # acc[b] = Σ_tok ±count by bit b of hash(tok)
+                hs = np.array([hash_token(t) for t in uniq], dtype=np.uint64)
+                bits = (hs[:, None] >> bit_shifts[None, :]) & np.uint64(1)
+                c = counts.astype(np.int64)[:, None]
+                acc = np.where(bits == 1, c, -c).sum(axis=0)
+                sig = ((acc > 0).astype(np.uint64) << bit_shifts).sum(
+                    dtype=np.uint64
+                )
                 out[i] = int(sig.astype(np.int64))
             yield pd.Series(out)
 

@@ -541,24 +541,36 @@ def build_index(
         "terms_list": lexicon.select("term", "term_id"),
     }
     if with_forward_index:
-        # J2/F5: remap terms to term_ids; broadcast only works when the
-        # lexicon is small — at scale this is a shuffle join on term
-        out["forward_index_ids"] = (
-            tokens.join(lexicon.select("term", "term_id"), "term", "left")
-            .groupBy("doc_int")
-            .agg(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            F.col("term_id"),
-                            F.col("tf").alias("freq"),
-                            F.col("positions"),
-                        )
-                    )
-                ).alias("postings")
-            )
-        )
+        out["forward_index_ids"] = forward_index_frame(tokens, lexicon)
     return out
+
+
+def forward_index_frame(
+    tokens: DataFrame,
+    terms_list: DataFrame,
+    id_cols: tuple[str, ...] = ("doc_int",),
+) -> DataFrame:
+    """J2/F5 (indexer4.cpp:381-442): remap tokens to term_ids and fold
+    per-doc sorted (term_id, freq, positions) postings — the reference's
+    forward_index.jsonl content. Left join so a missing term surfaces as
+    a null term_id (counted by metrics.missing_term_count, the
+    '[MISSING_TERM]' analog) rather than silently dropping the doc's
+    row. At scale this is one shuffle join on term + one groupBy doc."""
+    return (
+        tokens.join(terms_list.select("term", "term_id"), "term", "left")
+        .groupBy(*id_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("term_id"),
+                        F.col("tf").alias("freq"),
+                        F.col("positions"),
+                    )
+                )
+            ).alias("postings")
+        )
+    )
 
 
 def _tokenize_keep_int(

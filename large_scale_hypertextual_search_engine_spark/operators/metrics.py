@@ -59,14 +59,11 @@ def memory_metrics(spark=None) -> dict:
         "driver_peak_rss_bytes": int(ru.ru_maxrss) * 1024,
     }
     try:
-        import os
-
         with open("/proc/self/status") as f:
             for line in f:
                 if line.startswith("VmRSS:"):
                     out["driver_rss_bytes"] = int(line.split()[1]) * 1024
                     break
-        del os
     except OSError:
         pass
     if spark is not None:

@@ -1,0 +1,164 @@
+"""Warm single-query BM25 serving (the reference's in-memory engine).
+
+``search()`` in operators.query is the batch-analytics path: exact, one
+Spark job, but a single interactive query pays ~seconds of fixed
+planning/shuffle cost regardless of data touched. The reference engine
+never pays that — it IS a warm in-memory process (Query-engine.hpp
+holds the lexicon + doc lengths; Barrel-manager.hpp:16-43 LRU-pins at
+most 3 postings barrels). ``SearchServer`` is that architecture's
+serving analog on top of the Spark-built index:
+
+* collection stats, doc lengths and the docid map are collected ONCE
+  into dense numpy arrays (doc_int is dense 1..N by construction);
+* per-term posting lists are fetched on miss via ONE bucket-pruned,
+  term-filtered Spark job (a few rows — the same partition-dir +
+  file-stats pruning as the query path), decoded with the shared
+  varbyte kernel, and LRU-cached (``max_cached_terms``, the
+  Barrel-manager analog);
+* scoring/AND/top-k run in numpy with the SAME double-precision BM25
+  expression tree, the same ascending-sorted per-doc fold, and the
+  same (score desc, doc_int asc) tiebreak as ``operators.query.
+  search`` — rank-identical, scores equal to double rounding (JVM
+  Math.log and libm log may differ in the last ulp); asserted in
+  tests/test_serving.py.
+
+Scale note: the driver-side state is O(n_docs) for lengths + docids
+(~12 GB per 10^9 docs) — a single serving node covers any index whose
+docid map fits, which is the reference's own operating envelope. Beyond
+that, shard serving nodes by docid range and merge top-k (the sharded
+WAND path in operators.wand is the in-cluster version of the same
+split).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.bm25 import B, K1
+from ..functions.varbyte import decode_postings_fast
+from .query import prune_buckets
+
+
+class SearchServer:
+    def __init__(
+        self,
+        index: dict[str, DataFrame],
+        max_cached_terms: int = 100_000,
+    ):
+        self._index = index
+        self._cache: OrderedDict[str, tuple[int, np.ndarray, np.ndarray]] = (
+            OrderedDict()
+        )
+        self._max_cached = max_cached_terms
+
+        row = index["collection_stats"].collect()[0]
+        self.n_docs = int(row["n_docs"])
+        self.avg_dl = float(row["avg_dl"])
+        # dl fallback mirrors query.search: coalesce(doc_len, floor(avg_dl))
+        self._dl = np.full(self.n_docs + 1, float(np.floor(self.avg_dl)))
+        for r in index["doc_stats"].select("doc_int", "doc_len").toLocalIterator():
+            self._dl[int(r["doc_int"])] = float(r["doc_len"])
+        self._docids = np.empty(self.n_docs + 1, dtype=object)
+        for r in index["docid_map"].select("docid", "doc_int").toLocalIterator():
+            self._docids[int(r["doc_int"])] = r["docid"]
+
+    # ---------------------------------------------------------- postings
+    def _fetch(self, terms: list[str]) -> None:
+        """One bucket-pruned Spark job for ALL missing terms."""
+        missing = [t for t in terms if t not in self._cache]
+        if not missing:
+            return
+        src = prune_buckets(self._index, missing).filter(
+            F.col("term").isin(missing)
+        )
+        has_blocks = "blocks" in src.columns
+        cols = ["term", "df", "postings"] + (["blocks"] if has_blocks else [])
+        for r in src.select(*cols).collect():
+            offs = (
+                np.array([b["offset"] for b in r["blocks"]], dtype=np.int64)
+                if has_blocks
+                else None
+            )
+            docids, tfs = decode_postings_fast(bytes(r["postings"]), offs)
+            self._put(r["term"], (int(r["df"]), docids, tfs))
+        for t in missing:  # negative-cache absent terms (df = 0)
+            if t not in self._cache:
+                self._put(t, (0, np.empty(0, np.int64), np.empty(0, np.int64)))
+
+    def _put(self, term: str, entry) -> None:
+        self._cache[term] = entry
+        self._cache.move_to_end(term)
+        while len(self._cache) > self._max_cached:
+            self._cache.popitem(last=False)
+
+    def warm(self, terms: list[str]) -> None:
+        """Prefetch posting lists (e.g. the head of the query log)."""
+        self._fetch(list(dict.fromkeys(terms)))
+
+    # ------------------------------------------------------------- query
+    def search(
+        self,
+        terms: list[str],
+        top_k: int = 10,
+        mode: str = "and",
+        tf_mode: str = "true",
+        k1: float = K1,
+        b: float = B,
+    ) -> list[dict]:
+        """-> [{rank, doc_int, docid, score}] — rank-identical (and
+        score-bit-identical) to operators.query.search."""
+        uniq = list(dict.fromkeys(terms))
+        self._fetch(uniq)
+        per_term = [
+            (t, *self._cache[t]) for t in uniq if self._cache[t][0] > 0
+        ]
+        for t in uniq:
+            self._cache.move_to_end(t, last=True)
+        if not per_term:
+            return []
+
+        doc_parts, score_parts = [], []
+        for _t, df, docids, tfs in per_term:
+            # identical double expression tree to functions.bm25
+            idf = np.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            tf = (
+                np.float64(1.0)
+                if tf_mode == "compat"
+                else tfs.astype(np.float64)
+            )
+            dl = self._dl[docids]
+            tfc = ((k1 + 1.0) * tf) / (
+                k1 * (1.0 - b + b * (dl / self.avg_dl)) + tf
+            )
+            doc_parts.append(docids)
+            score_parts.append(np.broadcast_to(idf * tfc, docids.shape))
+
+        docs = np.concatenate(doc_parts)
+        scores = np.concatenate(score_parts)
+        # per-doc fold over ASCENDING term scores — the same
+        # deterministic-FP sum as sort_array + aggregate in search_batch
+        order = np.lexsort((scores, docs))
+        docs, scores = docs[order], scores[order]
+        uniq_docs, starts, counts = np.unique(
+            docs, return_index=True, return_counts=True
+        )
+        sums = np.add.reduceat(scores, starts)
+        if mode == "and":
+            keep = counts == len(per_term)
+            uniq_docs, sums = uniq_docs[keep], sums[keep]
+        if uniq_docs.size == 0:
+            return []
+        k = min(top_k, uniq_docs.size)
+        top = np.lexsort((uniq_docs, -sums))[:k]
+        return [
+            {
+                "rank": i + 1,
+                "doc_int": int(uniq_docs[j]),
+                "docid": self._docids[int(uniq_docs[j])],
+                "score": float(sums[j]),
+            }
+            for i, j in enumerate(top)
+        ]

@@ -238,6 +238,56 @@ def ivf_assign_udf(centroids: np.ndarray):
     return _assign
 
 
+def uniform_vector_sample(
+    df: DataFrame, vec_col: str, n: int, seed: int = 42
+) -> np.ndarray:
+    """Uniform random draw of ~``n`` vectors WITHOUT a count pass.
+
+    ``limit(n)`` takes the first partitions in scan order — at 100 TB
+    the first file is not the distribution (r2 finding). Instead each
+    partition keeps the ``per_part`` smallest uniform random keys
+    (bottom-k sampling == uniform sampling without replacement) with a
+    2x oversample, and the driver takes the ``n`` globally smallest.
+    One pass, vectorized per Arrow batch, collect bounded by
+    n_partitions * per_part rows; deterministic via per-partition
+    seeded generators."""
+    n_parts = max(df.rdd.getNumPartitions(), 1)
+    per_part = max(64, -(-n // n_parts) * 2)
+
+    def _bottomk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        rng = np.random.default_rng([seed, ctx.partitionId() if ctx else 0])
+        keys = np.empty(0, dtype=np.float64)
+        vecs: list = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = rng.random(len(pdf))
+            keys = np.concatenate([keys, u])
+            vecs.extend(pdf[vec_col].tolist())
+            if len(keys) > 4 * per_part:
+                keep = np.argpartition(keys, per_part - 1)[:per_part]
+                keys = keys[keep]
+                vecs = [vecs[i] for i in keep]
+        if len(keys) > per_part:
+            keep = np.argpartition(keys, per_part - 1)[:per_part]
+            keys = keys[keep]
+            vecs = [vecs[i] for i in keep]
+        yield pd.DataFrame({"__key": keys, "v": vecs})
+
+    rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias(vec_col))
+        .mapInPandas(_bottomk, schema="__key double, v array<double>")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["__key"])
+    return np.stack(
+        [np.asarray(r["v"], dtype=np.float64) for r in rows[: min(n, len(rows))]]
+    )
+
+
 def write_ivf_partitioned(
     df: DataFrame,
     path: str,
@@ -253,10 +303,7 @@ def write_ivf_partitioned(
     import json as _json
     from pathlib import Path
 
-    sample = np.stack([
-        np.asarray(r[vec_col], dtype=np.float64)
-        for r in df.select(vec_col).limit(train_sample).collect()
-    ])
+    sample = uniform_vector_sample(df, vec_col, train_sample, seed=seed)
     C = _kmeans_fit(sample, n_centroids, seed=seed)
     (
         df.withColumn("centroid_id", ivf_assign_udf(C)(F.col(vec_col)))

@@ -109,6 +109,7 @@ def build_and_save_index(
     salt_buckets: int | None = None,
     block_size: int = 128,
     n_buckets: int = 10,
+    with_forward_index: bool = False,
 ) -> dict[str, DataFrame]:
     """Materialized, checkpoint-resumable index build.
 
@@ -119,6 +120,10 @@ def build_and_save_index(
       4. postings      (the term shuffle + encode)
       5. lexicon       (term id minting; written sorted by term for
                         min/max file pruning — trie/barrel parity)
+      6. forward_index_ids (flag-gated — the reference's fourth artifact,
+                        forward_index.jsonl, indexer4.cpp:381-442; its
+                        '[MISSING_TERM]' diagnostic is recorded into
+                        metrics.jsonl instead of stderr)
     """
     from ..operators.ids import assign_dense_ids
     from ..operators.index_build import _tokenize_keep_int, build_postings
@@ -187,16 +192,13 @@ def build_and_save_index(
             "term_id",
         ).select(
             "term_id", "term", "df", "tf", "bytes",
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket_id"),
+            # same crc32 barrel family as the postings partitioning —
+            # a lexicon-side bucket prune must agree with the dirs
+            term_bucket_col(n_buckets),
         ),
         sort_by=["term"],
     )
-    # every stage is on disk now: release the id-minting caches so
-    # repeated builds in one session don't pin storage (ADVICE r1)
-    from ..operators.ids import release_id_caches
-
-    release_id_caches()
-    return {
+    out = {
         "docid_map": docid_map,
         "doc_stats": doc_stats,
         "collection_stats": collection_stats,
@@ -204,6 +206,50 @@ def build_and_save_index(
         "lexicon": lexicon,
         "terms_list": lexicon.select("term", "term_id"),
     }
+    if with_forward_index:
+        out["forward_index_ids"] = _forward_index_stage(
+            spark, d, fingerprint, tokens, lexicon, id_cols=("docid", "doc_int")
+        )
+    # every stage is on disk now: release the id-minting caches so
+    # repeated builds in one session don't pin storage (ADVICE r1)
+    from ..operators.ids import release_id_caches
+
+    release_id_caches()
+    return out
+
+
+def _forward_index_stage(
+    spark, d: str, fingerprint: str, tokens, lexicon, id_cols
+):
+    """Flag-gated resumable forward-index stage shared by both builders.
+    Mirrors indexer4.cpp:381-442: remap to term_ids, record the
+    missing-term count as a metric (stderr '[MISSING_TERM]' analog,
+    indexer4.cpp:413-419) — computed as one anti-join count, no driver
+    row shipping."""
+    from ..operators.index_build import forward_index_frame
+    from ..operators.metrics import missing_term_count
+
+    was_current = stage_is_current(f"{d}/forward_index_ids", fingerprint)
+    fwd = run_stage(
+        spark,
+        "forward_index_ids",
+        f"{d}/forward_index_ids",
+        fingerprint,
+        lambda: forward_index_frame(tokens, lexicon, id_cols=id_cols),
+    )
+    if not was_current:  # record once per computation, not per resume
+        record_metrics(
+            d,
+            fingerprint,
+            [
+                {
+                    "stage": "forward_index_ids",
+                    "key": "missing_terms",
+                    "value": missing_term_count(tokens, lexicon),
+                }
+            ],
+        )
+    return fwd
 
 
 def build_and_save_index_from_tokens(
@@ -214,6 +260,7 @@ def build_and_save_index_from_tokens(
     salt_buckets: int | None = None,
     block_size: int = 128,
     n_buckets: int = 10,
+    with_forward_index: bool = False,
 ) -> dict[str, DataFrame]:
     """Resumable build over a PRE-TOKENIZED frame
     ``(docid, term, positions, tf, doc_len)`` — the mid-stream entry
@@ -268,12 +315,11 @@ def build_and_save_index_from_tokens(
             "term_id",
         ).select(
             "term_id", "term", "df", "tf", "bytes",
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket_id"),
+            term_bucket_col(n_buckets),
         ),
         sort_by=["term"],
     )
-    release_id_caches()
-    return {
+    out = {
         "docid_map": docid_map,
         "doc_stats": doc_stats,
         "collection_stats": collection_stats,
@@ -281,6 +327,17 @@ def build_and_save_index_from_tokens(
         "lexicon": lexicon,
         "terms_list": lexicon.select("term", "term_id"),
     }
+    if with_forward_index:
+        fwd_toks = (
+            toks if "tf" in toks.columns
+            else toks.withColumn("tf", F.size("positions"))
+        )
+        out["forward_index_ids"] = _forward_index_stage(
+            spark, d, fingerprint, fwd_toks, lexicon,
+            id_cols=("docid", "doc_int"),
+        )
+    release_id_caches()
+    return out
 
 
 def load_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
@@ -290,6 +347,8 @@ def load_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
         for name in ("docid_map", "doc_stats", "collection_stats", "postings", "lexicon")
     }
     out["terms_list"] = out["lexicon"].select("term", "term_id")
+    if (Path(d) / "forward_index_ids" / "_stage_meta.json").exists():
+        out["forward_index_ids"] = spark.read.parquet(f"{d}/forward_index_ids")
     nb = stage_meta(f"{d}/postings").get("n_buckets")
     if nb:
         out["_n_buckets"] = int(nb)  # enables driver-side bucket pruning

@@ -111,6 +111,12 @@ def _session_fn(gap_us: int):
                 if n > 0 and t - last_us > gap_us:
                     closed.append((start_us, last_us, n))
                     start_us, n = t, 0
+                # a within-gap event may still PRECEDE the open session's
+                # start (late arrival inside the watermark): extend the
+                # session backwards so session_start matches the batch
+                # semantics. Merging/reordering of already-CLOSED sessions
+                # is out of scope (they emitted at watermark).
+                start_us = min(start_us, t)
                 last_us = max(last_us, t)
                 n += 1
             state.update((start_us, last_us, n))

@@ -60,3 +60,17 @@ def test_server_warm_latency_under_100ms(spark, lexicon):
         srv.suggest("sp", max_suggestions=5)
     per_call_ms = (time.time() - t0) * 1000 / 100
     assert per_call_ms < 100, per_call_ms
+
+
+def test_server_tiebreak_at_topk_boundary(spark):
+    """All-equal tf forces the k-th-boundary tie: the serving path must
+    pick the same term set AND order as the Spark path (tf desc, term
+    asc) — argpartition on tf alone chose arbitrarily (r2 advice)."""
+    rows = [(t, 7) for t in ("se", "sd", "sa", "sc", "sb", "sf")] + [("sx", 9)]
+    lex = spark.createDataFrame(rows, "term string, tf long")
+    srv = AutocompleteServer(lex)
+    expect = [
+        (r["term"], r["tf"]) for r in suggest(lex, "s", max_suggestions=4).collect()
+    ]
+    assert expect == [("sx", 9), ("sa", 7), ("sb", 7), ("sc", 7)]
+    assert srv.suggest("s", max_suggestions=4) == expect

@@ -378,3 +378,37 @@ def test_lsh_partitioned_table_prunes_and_matches(spark, emb_df, tmp_path):
         for r in lsh_bucket_topk(df, q, k=5, n_planes=6).collect()
     ]
     assert [(r["vec_id"], r["score"]) for r in got.collect()] == expect
+
+
+def test_ivf_training_sample_unbiased_across_partitions(spark):
+    """r2 finding: centroid training drew limit(n) — the FIRST partition
+    in scan order. With clustered vectors laid out one-cluster-per-
+    input-partition, a biased draw would train on a single cluster;
+    the bottom-k uniform sample must cover all of them."""
+    from large_scale_hypertextual_search_engine_spark.operators.similarity import (
+        uniform_vector_sample,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((4, 8)) * 20
+    rows = [
+        (c * 1000 + i, [float(x) for x in centers[c] + rng.standard_normal(8)])
+        for c in range(4)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartitionByRange(4, "vec_id")  # partition boundaries == clusters
+    sample = uniform_vector_sample(df, "embedding", 200, seed=5)
+    assert 150 <= len(sample) <= 200
+    nearest = np.argmax(
+        (sample / np.linalg.norm(sample, axis=1, keepdims=True))
+        @ (centers / np.linalg.norm(centers, axis=1, keepdims=True)).T,
+        axis=1,
+    )
+    counts = np.bincount(nearest, minlength=4)
+    # every cluster represented, none hogging the draw
+    assert (counts > 10).all(), counts.tolist()
+    # determinism: same seed -> same sample
+    sample2 = uniform_vector_sample(df, "embedding", 200, seed=5)
+    assert np.array_equal(sample, sample2)

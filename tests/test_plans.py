@@ -87,3 +87,14 @@ def test_tpch_q3_broadcasts_small_sides(spark):
     plan = _plan(entry.q_tpch_q3(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    """r2 finding: q5 left customer to a shuffle join; every dimension
+    (customer, supplier, nation, region) must broadcast — the fact
+    table is the only shuffle participant."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_tpch_q5(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

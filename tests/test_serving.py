@@ -1,0 +1,100 @@
+"""Warm SearchServer vs the Spark query path: identical results, serving
+latency without per-query job planning."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from large_scale_hypertextual_search_engine_spark.operators.index_build import (
+    build_index,
+)
+from large_scale_hypertextual_search_engine_spark.operators.query import search
+from large_scale_hypertextual_search_engine_spark.operators.serving import (
+    SearchServer,
+)
+
+
+@pytest.fixture(scope="module")
+def small_index(spark):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("cast(doc_id as string) as docid", "text as content")
+    )
+    idx = build_index(docs, mode="simple", stem=False, salt_buckets=2)
+    for k in ("doc_stats", "postings", "lexicon", "docid_map", "collection_stats"):
+        idx[k] = idx[k].cache()
+    return idx
+
+
+QUERIES = [
+    (["spark"], "and", "true"),
+    (["spark", "join"], "and", "true"),
+    (["spark", "join"], "and", "compat"),
+    (["merge", "window"], "or", "true"),
+    (["spark", "nosuchterm_xyz"], "and", "true"),
+    (["nosuchterm_xyz"], "or", "true"),
+]
+
+
+def test_server_matches_spark_search(spark, small_index):
+    srv = SearchServer(small_index)
+    for terms, mode, tf_mode in QUERIES:
+        expect = sorted(
+            (r["rank"], r["doc_int"], r["docid"], r["score"])
+            for r in search(
+                small_index, terms, top_k=10, mode=mode, tf_mode=tf_mode
+            ).collect()
+        )
+        got = [
+            (r["rank"], r["doc_int"], r["docid"], r["score"])
+            for r in srv.search(terms, top_k=10, mode=mode, tf_mode=tf_mode)
+        ]
+        assert [g[:3] for g in got] == [e[:3] for e in expect], (terms, mode)
+        for g, e in zip(got, expect):
+            assert g[3] == pytest.approx(e[3], abs=1e-12, rel=1e-12), (terms, g, e)
+
+
+def test_server_scores_match_python_oracle(spark, small_index):
+    """Scores agree with the pure-Python BM25 oracle formula to double
+    rounding (bitwise parity with the JVM is impossible in general:
+    Math.log and libm log are each <=1 ulp but can disagree)."""
+    from large_scale_hypertextual_search_engine_spark.functions.bm25 import (
+        bm25_score_py,
+    )
+
+    srv = SearchServer(small_index)
+    n_docs, avg_dl = srv.n_docs, srv.avg_dl
+    res = srv.search(["spark"], top_k=5)
+    df = srv._cache["spark"][0]
+    posting_tf = dict(zip(srv._cache["spark"][1], srv._cache["spark"][2]))
+    for r in res:
+        dl = srv._dl[r["doc_int"]]
+        want = bm25_score_py(
+            float(posting_tf[r["doc_int"]]), df, dl, n_docs, avg_dl
+        )
+        assert r["score"] == pytest.approx(want, rel=1e-14), r
+
+
+def test_server_warm_latency(spark, small_index):
+    srv = SearchServer(small_index)
+    srv.search(["spark", "join"])  # cold fetch
+    t0 = time.time()
+    for _ in range(20):
+        srv.search(["spark", "join"], mode="or")
+    per_query_ms = (time.time() - t0) * 1000 / 20
+    assert per_query_ms < 500, per_query_ms
+
+
+def test_server_lru_eviction(spark, small_index):
+    srv = SearchServer(small_index, max_cached_terms=2)
+    srv.search(["spark"])
+    srv.search(["join"])
+    srv.search(["merge"])
+    assert len(srv._cache) <= 2
+    # evicted term still answers correctly (refetches)
+    expect = [
+        r["docid"]
+        for r in sorted(search(small_index, ["spark"]).collect(), key=lambda r: r["rank"])
+    ]
+    assert [r["docid"] for r in srv.search(["spark"])] == expect

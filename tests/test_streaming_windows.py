@@ -122,3 +122,33 @@ def test_sessionize_stream_matches_batch_semantics(spark, tmp_path):
             1 for a, b in zip(tss, tss[1:]) if (b - a).total_seconds() > 1800
         )
         assert sum(1 for g in got if g[0] == uid) == n_sessions, uid
+
+
+def test_sessionize_late_event_extends_session_start(spark, tmp_path):
+    """An out-of-order event inside the watermark that PRECEDES the open
+    session's start must pull session_start back (r2 advice) — matching
+    the batch semantics where events are globally time-sorted."""
+    src = str(tmp_path / "late")
+    spark.createDataFrame([], SCHEMA).write.parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    sess = sessionize_stream(stream, gap_minutes=30, watermark="2 hours")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        _feed(spark, q, src, [(1, _ts(12, 10), 1, "a", 1.0)])
+        # late but within the 2h watermark, within gap of 12:10
+        _feed(spark, q, src, [(2, _ts(12, 0), 1, "a", 1.0)])
+        # fenceposts advance the watermark past 12:10 + gap to flush
+        _feed(spark, q, src, [(3, _ts(20, 0), 9, "a", 1.0)])
+        _feed(spark, q, src, [(4, datetime(2026, 1, 2, 5, 0), 8, "a", 1.0)])
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from late_sessions").collect()
+    }
+    assert (1, _ts(12, 0), _ts(12, 10), 2) in got, got
