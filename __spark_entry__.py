@@ -415,6 +415,33 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+def q_dedup_minhash_banded(spark, sf_dir):
+    """MinHash near-dup with the signature table PERSISTED (the 100 TB
+    shape: store signatures once, re-dedup without re-shingling). The
+    signature kernel is not SQL-expressible, but the banding +
+    est_jaccard half over the stored table IS — the oracle reads the
+    same parquet, so this checks the whole relational half; the kernel
+    itself is pytest-verified (exact _modmul61 + Jaccard estimate)."""
+    from large_scale_hypertextual_search_engine_spark.operators.dedup import (
+        minhash_pairs_from_signatures, minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    # fixed path: the oracle SQL references it literally; each invocation
+    # overwrites then compares side-by-side, so runs at different SFs
+    # don't interleave
+    sig_path = "/tmp/minhash_sigs_oracle"
+    minhash_signatures(docs, "text", "doc_id").write.mode("overwrite").parquet(
+        sig_path
+    )
+    sigs = spark.read.parquet(sig_path)
+    return minhash_pairs_from_signatures(sigs, "doc_id", threshold=0.5).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     from large_scale_hypertextual_search_engine_spark.operators.dedup import (
         simhash_near_pairs,
@@ -563,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_banded": q_dedup_minhash_banded,
         "dedup_simhash": q_dedup_simhash,
         "text_fingerprint": q_text_fingerprint,
         "ann_lsh": q_ann_lsh,
@@ -796,6 +824,35 @@ SELECT vec_id,
        round(score, 6) AS score
 FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""",
         "ann_lsh": _ann_lsh_oracle_sql(),
+        # oracle over the SAME persisted signature table the Spark query
+        # writes (the kernel is pytest-verified; banding/est_jaccard are
+        # relational and fully checked here). 16 bands x 4 rows; DuckDB
+        # list slice is 1-based inclusive.
+        "dedup_minhash_banded": """
+WITH s AS (
+  SELECT doc_id, sig
+  FROM read_parquet('/tmp/minhash_sigs_oracle/*.parquet')
+),
+bands AS (
+  SELECT doc_id, b, sig[b*4+1 : b*4+4] AS key
+  FROM s CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bands a
+  JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+),
+p AS (
+  SELECT cand.id_a, cand.id_b,
+    list_sum(list_transform(generate_series(1, 64),
+      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 64.0
+      AS est_jaccard
+  FROM cand
+  JOIN s sa ON sa.doc_id = cand.id_a
+  JOIN s sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
+FROM p WHERE est_jaccard >= 0.5""",
         "token_counts": r"""
 SELECT doc_id,
   CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)

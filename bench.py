@@ -128,6 +128,19 @@ def main() -> None:
         srv.suggest("sp", max_suggestions=10)
     extra["autocomplete_warm_ms"] = round((time.time() - t0) * 1000 / 200, 4)
 
+    # warm single-query BM25 serving (SearchServer: in-memory stats +
+    # LRU posting cache, rank-identical to the Spark search path)
+    from large_scale_hypertextual_search_engine_spark.operators.serving import (
+        SearchServer,
+    )
+
+    ssrv = SearchServer(idx)
+    ssrv.search(["spark", "join"])  # cold fetch (one pruned Spark job)
+    t0 = time.time()
+    for _ in range(50):
+        ssrv.search(["spark", "join"], top_k=10)
+    extra["bm25_warm_single_ms"] = round((time.time() - t0) * 1000 / 50, 3)
+
     # --- training-data ops ---
     raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed(

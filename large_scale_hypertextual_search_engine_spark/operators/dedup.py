@@ -189,13 +189,31 @@ def minhash_lsh_pairs(
     dedup. Candidate generation is |buckets| bound, never O(n^2); the
     estimated Jaccard (signature agreement rate) filters at `threshold`.
     """
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k, seed
     ).cache()
     _LIVE_SIG_CACHES.append(sigs)
     while len(_LIVE_SIG_CACHES) > _MAX_LIVE_SIGS:
         _LIVE_SIG_CACHES.pop(0).unpersist()
+    return minhash_pairs_from_signatures(
+        sigs, id_col, num_hashes=num_hashes, bands=bands, threshold=threshold
+    )
+
+
+def minhash_pairs_from_signatures(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Banded-LSH candidate pairs + est_jaccard from a PRECOMPUTED
+    ``(id, sig)`` frame (e.g. a persisted signature table — the shape a
+    100 TB pipeline stores anyway so re-dedup never re-shingles). The
+    banding/est_jaccard half is relational, so a stored signature table
+    makes this path oracle-checkable in SQL even though the signature
+    kernel itself is not SQL-expressible."""
+    rows_per_band = num_hashes // bands
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(

@@ -150,39 +150,89 @@ def decode_media(
     return df.select(id_col, payload_col).mapInPandas(_decode, DECODED_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pixels", BinaryType()),  # row-major uint8 HxWxC rgb24
+    ]
+)
+
+_FAKE_FRAME_W, _FAKE_FRAME_H = 16, 12
+
+
 def frame_sample(
     df: DataFrame, every_ms: int = 1000, *, fake: bool = False,
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Video frame sampling plumbing: one output row per sampled frame
-    (media_id, frame_idx, ts_ms, payload). The frame extraction itself
-    is stubbed like decode_media."""
+    """Video frame sampling: one output row per sampled frame
+    (media_id, frame_idx, ts_ms, width, height, channels, pixels).
+
+    The real path uses PyAV WHEN IMPORTABLE on the executors (optional
+    dependency, same contract as decode_media's Pillow path): a single
+    sequential decode walk per video, emitting the first frame at or
+    after each ``every_ms`` tick as an rgb24 buffer — deterministic,
+    no codec-dependent seeking. Without PyAV the call degrades to
+    NotImplementedError rather than a wrong answer. ``fake=True`` emits
+    content-hash-seeded rgb24 buffers with the IDENTICAL schema and
+    pixel-buffer shape (w*h*3 uint8), one frame per tick of
+    ``meta.duration_ms`` — contract-tested so downstream featurizers
+    run codec-free."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not fake:
+        if not fake:
+            try:
+                import io
+
+                import av
+            except ImportError as e:  # optional dep absent in sandbox
                 raise NotImplementedError(
-                    "video codecs unavailable; run with fake=True"
-                )
-            rows = {"media_id": [], "frame_idx": [], "ts_ms": [], "payload": []}
+                    "video codecs unavailable (pip install av on the "
+                    "executors); run with fake=True for the deterministic "
+                    "schema-identical stub"
+                ) from e
+        for pdf in batches:
+            rows = {f.name: [] for f in FRAME_SCHEMA.fields}
+
+            def emit(mid, k, ts, w, h, px_bytes):
+                rows["media_id"].append(int(mid))
+                rows["frame_idx"].append(k)
+                rows["ts_ms"].append(int(ts))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(3)
+                rows["pixels"].append(px_bytes)
+
             for mid, payload, meta in zip(
                 pdf[id_col], pdf["payload"], pdf["meta"]
             ):
-                dur = int((meta or {}).get("duration_ms") or 0)
-                digest = hashlib.sha256(bytes(payload or b"")).digest()
-                for k, ts in enumerate(range(0, max(dur, 1), every_ms)):
-                    rows["media_id"].append(int(mid))
-                    rows["frame_idx"].append(k)
-                    rows["ts_ms"].append(ts)
-                    rows["payload"].append(digest + ts.to_bytes(4, "big"))
+                if fake:
+                    dur = int((meta or {}).get("duration_ms") or 0)
+                    digest = hashlib.sha256(bytes(payload or b"")).digest()
+                    w, h = _FAKE_FRAME_W, _FAKE_FRAME_H
+                    for k, ts in enumerate(range(0, max(dur, 1), every_ms)):
+                        rng = np.random.default_rng(
+                            int.from_bytes(digest[:8], "big") + ts
+                        )
+                        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                        emit(mid, k, ts, w, h, px.tobytes())
+                    continue
+                with av.open(io.BytesIO(bytes(payload))) as container:
+                    stream = container.streams.video[0]
+                    next_tick, k = 0, 0
+                    for frame in container.decode(stream):
+                        t_ms = int((frame.time or 0.0) * 1000)
+                        if t_ms < next_tick:
+                            continue
+                        arr = frame.to_ndarray(format="rgb24")
+                        emit(mid, k, t_ms, arr.shape[1], arr.shape[0],
+                             arr.tobytes())
+                        k += 1
+                        next_tick += every_ms
             yield pd.DataFrame(rows)
 
-    schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("frame_idx", IntegerType()),
-            StructField("ts_ms", IntegerType()),
-            StructField("payload", BinaryType()),
-        ]
-    )
-    return df.select(id_col, "payload", "meta").mapInPandas(_sample, schema)
+    return df.select(id_col, "payload", "meta").mapInPandas(_sample, FRAME_SCHEMA)

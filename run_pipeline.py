@@ -129,6 +129,9 @@ def cmd_search(args) -> None:
 
     spark = _spark("lshse-search")
     idx = load_index(spark, args.index)
+    if args.serve:
+        _search_served(spark, idx, args)
+        return
     t0 = time.time()
     if args.wand:
         if args.analyzer == "simple":
@@ -158,6 +161,60 @@ def cmd_search(args) -> None:
         "hits": len(rows),
     }])
     print(json.dumps({"latency_ms": round(wall * 1000, 1), "hits": len(rows)}))
+    spark.stop()
+
+
+def _search_served(spark, idx, args) -> None:
+    """Warm serving path (operators.serving.SearchServer): collect the
+    index stats once, answer the query from the in-memory engine —
+    reports both the cold (includes the one posting-fetch Spark job)
+    and warm per-query latency."""
+    from large_scale_hypertextual_search_engine_spark.analysis.tokenizer import (
+        tokenize_compat, tokenize_simple,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.serving import (
+        SearchServer,
+    )
+
+    if args.analyzer == "simple":
+        terms = tokenize_simple(args.query)
+    else:
+        terms = [t.term for t in tokenize_compat(args.query, stem=args.stem)]
+    srv = SearchServer(idx)
+    t0 = time.time()
+    rows = srv.search(terms, top_k=args.top_k, mode=args.mode, tf_mode=args.tf_mode)
+    cold_ms = (time.time() - t0) * 1000
+    t0 = time.time()
+    for _ in range(10):
+        rows = srv.search(
+            terms, top_k=args.top_k, mode=args.mode, tf_mode=args.tf_mode
+        )
+    warm_ms = (time.time() - t0) * 1000 / 10
+    for r in rows:
+        print(f"{r['rank']:3d}  {r['score']:12.6f}  {r['docid']}")
+    print(json.dumps({
+        "cold_ms": round(cold_ms, 2), "warm_ms": round(warm_ms, 3),
+        "hits": len(rows),
+    }))
+    spark.stop()
+
+
+def cmd_export(args) -> None:
+    """Emit the reference's on-disk artifact formats from a saved index
+    (lexicon.txt / terms_list.txt / docid_map.txt / postings.bin
+    [/ forward_index.jsonl]; per-barrel shards with --shard)."""
+    from large_scale_hypertextual_search_engine_spark.plans.lineage import load_index
+    from large_scale_hypertextual_search_engine_spark.sources.export import (
+        export_reference_index,
+    )
+
+    spark = _spark("lshse-export")
+    idx = load_index(spark, args.index)
+    stats = export_reference_index(
+        idx, args.out, skip_interval=args.skip_interval,
+        shard_by_bucket=args.shard,
+    )
+    print(json.dumps(stats))
     spark.stop()
 
 
@@ -425,7 +482,20 @@ def main() -> None:
     p.add_argument("--analyzer", default="compat", choices=["compat", "simple"])
     p.add_argument("--stem", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--wand", action="store_true", help="Block-Max WAND path")
+    p.add_argument(
+        "--serve", action="store_true",
+        help="warm in-memory serving path (SearchServer)",
+    )
     p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser(
+        "export", help="emit reference-format index files from a saved index"
+    )
+    p.add_argument("--index", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--skip-interval", type=int, default=128)
+    p.add_argument("--shard", action="store_true", help="per-barrel shards")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("suggest", help="autocomplete over a saved index")
     p.add_argument("--index", required=True)

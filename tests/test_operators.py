@@ -412,3 +412,50 @@ def test_ivf_training_sample_unbiased_across_partitions(spark):
     # determinism: same seed -> same sample
     sample2 = uniform_vector_sample(df, "embedding", 200, seed=5)
     assert np.array_equal(sample, sample2)
+
+
+def test_frame_sample_fake_contract(spark):
+    """frame_sample's fake path matches the documented real-path
+    contract: FRAME_SCHEMA, one frame per every_ms tick of duration_ms,
+    w*h*3 rgb24 buffers, deterministic across reruns; the real path
+    degrades loudly when PyAV is absent."""
+    from large_scale_hypertextual_search_engine_spark.operators.multimodal import (
+        FRAME_SCHEMA, frame_sample,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, b"VID-A", ("video/mp4", (None, None, 3500, None))),
+            (2, b"VID-B", ("video/mp4", (None, None, 900, None))),
+        ],
+        "media_id long, payload binary, "
+        "x struct<mime string, meta struct<width int, height int, "
+        "duration_ms int, sample_rate int>>",
+    ).select("media_id", "payload", "x.meta")
+    out = frame_sample(df, every_ms=1000, fake=True)
+    assert out.schema == FRAME_SCHEMA
+    rows = sorted(out.collect(), key=lambda r: (r["media_id"], r["frame_idx"]))
+    # 3500ms -> frames at 0,1000,2000,3000; 900ms -> one frame at 0
+    assert [(r["media_id"], r["frame_idx"], r["ts_ms"]) for r in rows] == [
+        (1, 0, 0), (1, 1, 1000), (1, 2, 2000), (1, 3, 3000), (2, 0, 0),
+    ]
+    for r in rows:
+        assert len(r["pixels"]) == r["width"] * r["height"] * 3
+    rows2 = sorted(
+        frame_sample(df, every_ms=1000, fake=True).collect(),
+        key=lambda r: (r["media_id"], r["frame_idx"]),
+    )
+    assert all(
+        bytes(a["pixels"]) == bytes(b["pixels"]) for a, b in zip(rows, rows2)
+    )
+    try:
+        import av  # noqa: F401
+        has_av = True
+    except ImportError:
+        has_av = False
+    if not has_av:
+        with pytest.raises(Exception) as ei:
+            frame_sample(df, fake=False).collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError
+        )
