@@ -235,6 +235,20 @@ def search(
     )
 
 
+class SemanticExpander:
+    """Query-expansion hook (Query-engine.hpp:14,377-395 declares a
+    ``SemanticExpander`` and a ``search_semantic`` that calls
+    ``expand_query(tokens, 2)`` — but the class is never DEFINED in the
+    reference, quirk Q13). We expose the same interface with an
+    identity default so a synonym/embedding expander can plug in; the
+    base class mirrors the reference's no-expander behavior exactly."""
+
+    def expand_query(
+        self, tokens: list[str], max_expansions: int = 2
+    ) -> list[str]:
+        return list(tokens)
+
+
 def search_text(
     index: dict[str, DataFrame],
     query: str,
@@ -243,14 +257,19 @@ def search_text(
     tf_mode: str = "true",
     analyzer_mode: str = "compat",
     stem: bool = True,
+    expander: SemanticExpander | None = None,
 ) -> DataFrame:
     """Analyze a raw query string with the same analyzer as indexing
     (the reference's query tokenizer skips stemming and never matches a
-    stemmed index — quirk Q4; we default to symmetric analysis)."""
+    stemmed index — quirk Q4; we default to symmetric analysis).
+    ``expander`` mirrors search_semantic: None -> plain search; else
+    the token list is passed through ``expand_query`` first."""
     from ..analysis.tokenizer import tokenize_compat, tokenize_simple
 
     if analyzer_mode == "simple":
         terms = tokenize_simple(query)
     else:
         terms = [t.term for t in tokenize_compat(query, stem=stem)]
+    if expander is not None:
+        terms = expander.expand_query(terms, 2)
     return search(index, terms, top_k, mode, tf_mode)

@@ -141,3 +141,33 @@ def test_search_text_analyzed(indexes):
     ]
     expect = [d for d, _ in oracle.search(["spark", "join"])]
     assert got == expect
+
+
+def test_semantic_expander_hook(spark, indexes):
+    """Q13: SemanticExpander is declared-but-undefined in the reference
+    (Query-engine.hpp:14,377-395); our hook defaults to identity (== no
+    expander) and a custom expander's terms reach the search."""
+    from large_scale_hypertextual_search_engine_spark.operators.query import (
+        SemanticExpander, search_text,
+    )
+
+    idx, _oracle = indexes
+    base = search_text(
+        idx, "spark", analyzer_mode="simple", stem=False
+    ).collect()
+    ident = search_text(
+        idx, "spark", analyzer_mode="simple", stem=False,
+        expander=SemanticExpander(),
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, ident))
+
+    class AddJoin(SemanticExpander):
+        def expand_query(self, tokens, max_expansions=2):
+            return tokens + ["join"]
+
+    expanded = search_text(
+        idx, "spark", analyzer_mode="simple", stem=False,
+        expander=AddJoin(), mode="and",
+    ).collect()
+    want = search(idx, ["spark", "join"], mode="and").collect()
+    assert sorted(map(tuple, expanded)) == sorted(map(tuple, want))
