@@ -290,9 +290,24 @@ def cmd_dedup(args) -> None:
     if args.method == "exact":
         out = D.exact_duplicates(df, args.text_col, args.id_col)
     elif args.method == "minhash":
-        out = D.minhash_lsh_pairs(
-            df, args.text_col, args.id_col, threshold=args.threshold
-        )
+        if args.sigs_in:
+            # persisted-signature path: re-dedup without re-shingling
+            out = D.minhash_pairs_from_signatures(
+                spark.read.parquet(args.sigs_in), args.id_col,
+                threshold=args.threshold,
+            )
+        elif args.sigs_out:
+            D.minhash_signatures(df, args.text_col, args.id_col).write.mode(
+                "overwrite"
+            ).parquet(args.sigs_out)
+            out = D.minhash_pairs_from_signatures(
+                spark.read.parquet(args.sigs_out), args.id_col,
+                threshold=args.threshold,
+            )
+        else:
+            out = D.minhash_lsh_pairs(
+                df, args.text_col, args.id_col, threshold=args.threshold
+            )
     elif args.method == "simhash":
         out = D.simhash_near_pairs(df, args.text_col, args.id_col)
     elif args.method == "ngram":
@@ -529,6 +544,14 @@ def main() -> None:
     p.add_argument("--vec-col", default="embedding")
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--out", default=None, help="parquet output (default: print)")
+    p.add_argument(
+        "--sigs-out", default=None,
+        help="minhash: persist the signature table here (then pair from it)",
+    )
+    p.add_argument(
+        "--sigs-in", default=None,
+        help="minhash: pair from an existing signature table (skip shingling)",
+    )
     p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser("stats", help="index size / stage wall / memory report")
