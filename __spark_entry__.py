@@ -453,6 +453,28 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
+def q_dedup_simhash_stored(spark, sf_dir):
+    """SimHash near-dup with the 64-bit fingerprint table PERSISTED.
+    The kernel (weighted bit projections of FNV token hashes) is not
+    SQL-expressible, but the slice-bucketing + exact-Hamming half over
+    the stored table is — the oracle reads the same parquet. Mirrors
+    dedup_minhash_banded's split of kernel (pytest) vs relational
+    (DuckDB) verification."""
+    from large_scale_hypertextual_search_engine_spark.operators.dedup import (
+        simhash_pairs_from_hashes, simhash_udf,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    sh_path = "/tmp/simhash_oracle"
+    docs.select(
+        "doc_id", simhash_udf()(F.col("text")).alias("simhash")
+    ).write.mode("overwrite").parquet(sh_path)
+    sh = spark.read.parquet(sh_path)
+    return simhash_pairs_from_hashes(sh, "doc_id", max_hamming=3)
+
+
 def q_text_fingerprint(spark, sf_dir):
     from large_scale_hypertextual_search_engine_spark.operators.textstats import (
         fingerprint_udf,
@@ -592,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_banded": q_dedup_minhash_banded,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_stored": q_dedup_simhash_stored,
         "text_fingerprint": q_text_fingerprint,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -853,6 +876,25 @@ p AS (
 )
 SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
 FROM p WHERE est_jaccard >= 0.5""",
+        # oracle over the persisted simhash table (same split: kernel is
+        # pytest-verified, bucketing + Hamming verify checked here).
+        # (h >> 16t) & 65535 extracts each 16-bit slice — the mask makes
+        # DuckDB's arithmetic shift equal Spark's shiftrightunsigned.
+        "dedup_simhash_stored": """
+WITH s AS (
+  SELECT doc_id, simhash FROM read_parquet('/tmp/simhash_oracle/*.parquet')
+),
+sl AS (
+  SELECT doc_id, simhash, t, (simhash >> (16 * t)) & 65535 AS key
+  FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS t)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS h_a, b.simhash AS h_b
+  FROM sl a JOIN sl b ON a.t = b.t AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3""",
         "token_counts": r"""
 SELECT doc_id,
   CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)

@@ -304,6 +304,19 @@ def simhash_near_pairs(
     within Hamming<=3 of a 64-bit hash agrees on >=1 of 4 slices by
     pigeonhole), join within buckets, verify exact Hamming distance."""
     sh = df.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("simhash"))
+    return simhash_pairs_from_hashes(sh, id_col, max_hamming, n_tables)
+
+
+def simhash_pairs_from_hashes(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Bucketed candidate join + exact-Hamming verify over a
+    PRECOMPUTED ``(id, simhash)`` frame (e.g. a persisted fingerprint
+    table). Like minhash_pairs_from_signatures, storing the kernel
+    output makes this relational half oracle-checkable in SQL."""
     slices = sh.select(
         id_col,
         "simhash",
