@@ -517,6 +517,63 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_ann_ivf_stored(spark, sf_dir):
+    """IVF-flat ANN with the trained centroids ALSO persisted as parquet:
+    k-means itself is not SQL-expressible, but given the stored
+    centroids + centroid-partitioned table, the probe selection
+    (nprobe nearest cells) and exact re-rank ARE — the DuckDB oracle
+    reproduces both from the same files, closing the pruning+rerank
+    semantics under an oracle (the training quality is pytest-asserted
+    via recall)."""
+    from large_scale_hypertextual_search_engine_spark.operators.similarity import (
+        ivf_topk, write_ivf_partitioned,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = "/tmp/ivf_oracle"
+    C = write_ivf_partitioned(emb, path, n_centroids=16, seed=42)
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(C)],
+        "centroid_id int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet("/tmp/ivf_oracle_centroids")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return ivf_topk(spark, path, qvec, k=10, nprobe=4).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+
+
+_ANN_IVF_STORED_ORACLE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT centroid_id, cvec
+  FROM read_parquet('/tmp/ivf_oracle_centroids/*.parquet')
+),
+probes AS (
+  SELECT c.centroid_id
+  FROM c CROSS JOIN q
+  ORDER BY list_sum(list_transform(generate_series(1, len(c.cvec)),
+    i -> c.cvec[i] * CAST(q.qv[i] AS DOUBLE))) DESC, c.centroid_id ASC
+  LIMIT 4
+),
+v AS (
+  SELECT vec_id, embedding
+  FROM read_parquet('/tmp/ivf_oracle/*/*.parquet', hive_partitioning = true)
+  WHERE centroid_id IN (SELECT centroid_id FROM probes)
+),
+s AS (
+  SELECT v.vec_id,
+    list_sum(list_transform(generate_series(1, len(v.embedding)),
+      i -> CAST(v.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+    / ( sqrt(list_sum(list_transform(generate_series(1, len(v.embedding)),
+          i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))))
+      * sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+          i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) ) AS score
+  FROM v CROSS JOIN q
+)
+SELECT vec_id, round(score, 6) AS score
+FROM s ORDER BY score DESC, vec_id ASC LIMIT 10"""
+
+
 def _ann_lsh_oracle_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
     """DuckDB oracle for q_ann_lsh: the SAME rng hyperplanes embedded as
     SQL literals, bucket = packed sign bits, multiprobe=1 candidates =
@@ -618,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_stored": q_ann_ivf_stored,
         "ft_compat_analyzer": q_ft_compat_analyzer,
     }
 
@@ -847,6 +905,7 @@ SELECT vec_id,
        round(score, 6) AS score
 FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""",
         "ann_lsh": _ann_lsh_oracle_sql(),
+        "ann_ivf_stored": _ANN_IVF_STORED_ORACLE,
         # oracle over the SAME persisted signature table the Spark query
         # writes (the kernel is pytest-verified; banding/est_jaccard are
         # relational and fully checked here). 16 bands x 4 rows; DuckDB
