@@ -103,3 +103,21 @@ def test_merge_runs_byte_identical_to_whole_encode(pl, data):
     offs = np.array([b[3] for b in merged_blocks], dtype=np.int64)
     fd, ft = decode_postings_fast(merged_blob, offs)
     assert np.array_equal(fd, docids) and np.array_equal(ft, tfs)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(0, (1 << 61) - 2), min_size=1, max_size=50),
+    st.lists(st.integers(0, (1 << 61) - 2), min_size=1, max_size=50),
+)
+def test_modmul61_matches_bigint(avals, hvals):
+    from large_scale_hypertextual_search_engine_spark.operators.dedup import (
+        _MERSENNE, _modmul61,
+    )
+
+    n = min(len(avals), len(hvals))
+    a = np.array(avals[:n], dtype=np.uint64)
+    h = np.array(hvals[:n], dtype=np.uint64)
+    got = _modmul61(a, h)
+    want = [(int(x) * int(y)) % int(_MERSENNE) for x, y in zip(a, h)]
+    assert [int(v) for v in got] == want
