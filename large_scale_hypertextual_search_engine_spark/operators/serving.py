@@ -58,19 +58,41 @@ class SearchServer:
         self.n_docs = int(row["n_docs"])
         self.avg_dl = float(row["avg_dl"])
         # dl fallback mirrors query.search: coalesce(doc_len, floor(avg_dl))
+        # Cold-start state is bulk-loaded via Arrow record batches —
+        # vectorized scatter per batch into the preallocated arrays, no
+        # per-row Python. (The old toLocalIterator row loop was O(rows)
+        # interpreter work: hours at the documented 10^9-doc envelope;
+        # Arrow batches are minutes.)
         self._dl = np.full(self.n_docs + 1, float(np.floor(self.avg_dl)))
-        for r in index["doc_stats"].select("doc_int", "doc_len").toLocalIterator():
-            self._dl[int(r["doc_int"])] = float(r["doc_len"])
+        for batch in (
+            index["doc_stats"].select("doc_int", "doc_len").toArrow().to_batches()
+        ):
+            idx = batch.column("doc_int").to_numpy(zero_copy_only=False)
+            self._dl[idx] = batch.column("doc_len").to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
         self._docids = np.empty(self.n_docs + 1, dtype=object)
-        for r in index["docid_map"].select("docid", "doc_int").toLocalIterator():
-            self._docids[int(r["doc_int"])] = r["docid"]
+        for batch in (
+            index["docid_map"].select("docid", "doc_int").toArrow().to_batches()
+        ):
+            idx = batch.column("doc_int").to_numpy(zero_copy_only=False)
+            self._docids[idx] = np.asarray(
+                batch.column("docid").to_pylist(), dtype=object
+            )
 
     # ---------------------------------------------------------- postings
-    def _fetch(self, terms: list[str]) -> None:
-        """One bucket-pruned Spark job for ALL missing terms."""
-        missing = [t for t in terms if t not in self._cache]
+    def _fetch(self, terms: list[str]) -> dict[str, tuple]:
+        """One bucket-pruned Spark job for ALL missing terms. Returns
+        the entry for EVERY requested term (fetched or cache-hit) so the
+        in-flight query never depends on cache residency — with a small
+        ``max_cached_terms`` a query with more unique terms than the
+        cache would otherwise evict its own entries mid-fetch."""
+        entries: dict[str, tuple] = {
+            t: self._cache[t] for t in terms if t in self._cache
+        }
+        missing = [t for t in terms if t not in entries]
         if not missing:
-            return
+            return entries
         src = prune_buckets(self._index, missing).filter(
             F.col("term").isin(missing)
         )
@@ -83,10 +105,13 @@ class SearchServer:
                 else None
             )
             docids, tfs = decode_postings_fast(bytes(r["postings"]), offs)
-            self._put(r["term"], (int(r["df"]), docids, tfs))
+            entries[r["term"]] = (int(r["df"]), docids, tfs)
         for t in missing:  # negative-cache absent terms (df = 0)
-            if t not in self._cache:
-                self._put(t, (0, np.empty(0, np.int64), np.empty(0, np.int64)))
+            if t not in entries:
+                entries[t] = (0, np.empty(0, np.int64), np.empty(0, np.int64))
+        for t in missing:
+            self._put(t, entries[t])
+        return entries
 
     def _put(self, term: str, entry) -> None:
         self._cache[term] = entry
@@ -111,12 +136,13 @@ class SearchServer:
         """-> [{rank, doc_int, docid, score}] — rank-identical (and
         score-bit-identical) to operators.query.search."""
         uniq = list(dict.fromkeys(terms))
-        self._fetch(uniq)
+        entries = self._fetch(uniq)
         per_term = [
-            (t, *self._cache[t]) for t in uniq if self._cache[t][0] > 0
+            (t, *entries[t]) for t in uniq if entries[t][0] > 0
         ]
         for t in uniq:
-            self._cache.move_to_end(t, last=True)
+            if t in self._cache:
+                self._cache.move_to_end(t, last=True)
         if not per_term:
             return []
 

@@ -41,16 +41,24 @@ def _sanitize(term: str) -> str:
 
 
 def _write_postings_and_lexicon(
-    postings: DataFrame, outdir: Path, skip_interval: int
+    postings: DataFrame, outdir: Path, skip_interval: int,
+    use_global_ids: bool = False,
 ) -> int:
     """Stream term-sorted (term, df, tf, postings) into postings.bin,
     recording lexicon.txt/terms_list.txt rows as offsets accumulate.
-    Returns the number of terms written."""
-    rows = (
-        postings.select("term", "df", "tf", "postings")
-        .orderBy("term")
-        .toLocalIterator()
+    Returns the number of terms written.
+
+    wordID column: by default a 1-based sequence in term order, which
+    equals the index's global ``term_id`` for a whole-index export
+    (assign_dense_ids mints term_id = dense 1..n ordered by term). With
+    ``use_global_ids`` (shard mode) the frame must carry ``term_id`` and
+    that global id is written instead — a per-shard restart would break
+    cross-references against the top-level forward_index.jsonl, which
+    always uses global term_ids."""
+    cols = ["term", "df", "tf", "postings"] + (
+        ["term_id"] if use_global_ids else []
     )
+    rows = postings.select(*cols).orderBy("term").toLocalIterator()
     n = 0
     offset = 0
     with (
@@ -60,14 +68,15 @@ def _write_postings_and_lexicon(
     ):
         for r in rows:
             n += 1
+            wid = int(r["term_id"]) if use_global_ids else n
             blob = bytes(r["postings"])
             pout.write(blob)
             skip_meta = '{"df":%d,"skip_interval":%d}' % (r["df"], skip_interval)
             term = _sanitize(r["term"])
             lexofs.write(
-                f"{n}\t{term}\t{r['df']}\t{r['tf']}\t{offset}\t{len(blob)}\t{skip_meta}\n"
+                f"{wid}\t{term}\t{r['df']}\t{r['tf']}\t{offset}\t{len(blob)}\t{skip_meta}\n"
             )
-            tl.write(f"{term}\t{n}\n")
+            tl.write(f"{term}\t{wid}\n")
             offset += len(blob)
     return n
 
@@ -84,8 +93,13 @@ def _write_forward_index(fwd: DataFrame, outdir: Path) -> None:
     """forward_index.jsonl in the reference's exact JSON shape
     (indexer4.cpp:424-439): wordid/freq/positions per posting, original
     docid kept. Missing-term postings (null term_id) are skipped, as the
-    reference skips them."""
+    reference skips them. Frames from the lineage builders carry both
+    ``docid`` and ``doc_int``; ``build_index``'s default
+    ``forward_index_frame`` carries only ``doc_int`` — fall back to it
+    for the emitted docid (it IS the internal docid the reference
+    writes when no original id survives the remap)."""
     order_col = "doc_int" if "doc_int" in fwd.columns else "docid"
+    id_col = "docid" if "docid" in fwd.columns else "doc_int"
     it = fwd.orderBy(order_col).toLocalIterator()
     with open(outdir / "forward_index.jsonl", "w", encoding="utf-8") as ofs:
         for r in it:
@@ -98,7 +112,7 @@ def _write_forward_index(fwd: DataFrame, outdir: Path) -> None:
                     '{"wordid":%d,"freq":%d,"positions":[%s]}'
                     % (int(p["term_id"]), int(p["freq"]), pos)
                 )
-            docid = json.dumps(str(r["docid"]))
+            docid = json.dumps(str(r[id_col]))
             ofs.write('{"docid":%s,"postings":[%s]}\n' % (docid, ",".join(parts)))
 
 
@@ -123,6 +137,20 @@ def export_reference_index(
 
     if shard_by_bucket:
         postings = index["postings"]
+        # per-shard lexicons must still carry GLOBAL wordIDs (the
+        # top-level forward_index.jsonl references global term_ids) —
+        # join the index's term_id onto the blobs once, before slicing
+        if "term_id" not in postings.columns:
+            if "lexicon" in index and "term_id" in index["lexicon"].columns:
+                postings = postings.join(
+                    index["lexicon"].select("term", "term_id"), "term"
+                )
+            else:
+                # no lexicon in the dict: mint the same dense
+                # term-ascending ids the whole-index export implies
+                from ..operators.ids import assign_dense_ids
+
+                postings = assign_dense_ids(postings, "term", "term_id")
         buckets = sorted(
             r["bucket_id"]
             for r in postings.select("bucket_id").distinct().collect()
@@ -131,7 +159,8 @@ def export_reference_index(
             sub = out / f"bucket={b}"
             sub.mkdir(exist_ok=True)
             stats["n_terms"] += _write_postings_and_lexicon(
-                postings.filter(F.col("bucket_id") == b), sub, skip_interval
+                postings.filter(F.col("bucket_id") == b), sub, skip_interval,
+                use_global_ids=True,
             )
             stats["shards"] += 1
     else:

@@ -171,3 +171,63 @@ def test_export_forward_index_semantics_match_reference(spark, tmp_path):
     assert set(got) == set(ref) == set(order)
     for docid in ref:
         assert got[docid] == ref[docid], docid
+
+
+def test_export_sharded_wordids_are_global(spark, tmp_path):
+    """Shard-mode lexicons must carry GLOBAL wordIDs (equal to the
+    whole-index export's term-ascending ids), not a per-shard restart —
+    otherwise cross-references against the top-level
+    forward_index.jsonl (always global term_ids) break."""
+    index, _ = _golden_rebuild_index(spark)
+    whole = tmp_path / "whole"
+    sharded = tmp_path / "sharded"
+    export_reference_index(index, str(whole))
+    export_reference_index(index, str(sharded), shard_by_bucket=True)
+
+    whole_lex = _parse_lexicon(whole / "lexicon.txt")
+    shard_lex = {}
+    for sub in sharded.glob("bucket=*"):
+        part = _parse_lexicon(sub / "lexicon.txt")
+        assert not (set(part) & set(shard_lex))
+        shard_lex.update(part)
+    assert set(shard_lex) == set(whole_lex)
+    for term, e in whole_lex.items():
+        assert shard_lex[term]["word_id"] == e["word_id"], term
+        # terms_list in each shard agrees with its lexicon
+    for sub in sharded.glob("bucket=*"):
+        part = _parse_lexicon(sub / "lexicon.txt")
+        tl = dict(
+            l.rsplit("\t", 1)
+            for l in (sub / "terms_list.txt").read_text().splitlines()
+        )
+        assert all(int(tl[t]) == part[t]["word_id"] for t in part)
+
+
+def test_export_forward_index_doc_int_only_frame(spark, tmp_path):
+    """build_index's default forward_index_frame carries only doc_int
+    (no original docid); export must fall back to doc_int for the
+    emitted docid instead of crashing (round-3 ADVICE item)."""
+    from large_scale_hypertextual_search_engine_spark.operators.index_build import (
+        forward_index_frame,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.ids import (
+        assign_dense_ids,
+    )
+
+    index, order = _golden_rebuild_index(spark)
+    cleaned, _c = read_cleaned_jsonl(spark, str(REF / "cleaner3pmc.jsonl"))
+    tokens = cleaned_to_tokens(cleaned).join(index["docid_map"], "docid")
+    lexicon = assign_dense_ids(
+        index["postings"].select("term"), "term", "term_id"
+    )
+    # default id_cols=("doc_int",): no docid column in the frame
+    index["forward_index_ids"] = forward_index_frame(tokens, lexicon)
+    assert "docid" not in index["forward_index_ids"].columns
+    out = tmp_path / "fwd_int"
+    export_reference_index(index, str(out))
+
+    lines = (out / "forward_index.jsonl").read_text().splitlines()
+    assert len(lines) == len(order)
+    docids = [json.loads(l)["docid"] for l in lines]
+    # doc_int is minted 1..n in arrival order; export sorts by it
+    assert docids == [str(i + 1) for i in range(len(order))]
