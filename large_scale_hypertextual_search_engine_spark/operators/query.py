@@ -144,6 +144,11 @@ def search_batch(
     driver round-trip. Returns (query_id, rank, doc_int, docid, score).
     """
     n_docs, avg_dl = _stats(index)
+    # a repeated (query_id, term) row would double-count that term's
+    # score AND break the AND filter (n_matched inflates per duplicate
+    # while n_found counts distinct terms — every doc then fails the
+    # intersection). search() dedupes via dict.fromkeys; mirror it here.
+    queries = queries.dropDuplicates(["query_id", "term"])
     if terms is None:
         terms = [r["term"] for r in queries.select("term").distinct().collect()]
     decoded = decode_postings_df(prune_buckets(index, terms), terms)

@@ -138,34 +138,114 @@ _FP_MOD = np.uint64((1 << 61) - 1)
 _FP_BASE = np.uint64(1_000_003)
 
 
+def fingerprint_py(text: str | None) -> int:
+    """Exact big-int Horner reference for the fingerprint (the oracle
+    the vectorized kernel is property-tested against)."""
+    base, mod = int(_FP_BASE), int(_FP_MOD)
+    acc = 0
+    for tok in (text or "").split(" "):
+        if tok:
+            acc = (acc * base + hash_token(tok)) % mod
+    return acc
+
+
+_POW_CACHE = np.ones(1, dtype=np.uint64)  # _POW_CACHE[k] = base^k mod p
+
+
+def _powers(n: int) -> np.ndarray:
+    """base^0..base^(n-1) mod p, grown on demand (amortized once per
+    worker; the extension loop is exact python ints)."""
+    global _POW_CACHE
+    if len(_POW_CACHE) < n:
+        base, mod = int(_FP_BASE), int(_FP_MOD)
+        ext = np.empty(n, dtype=np.uint64)
+        old = len(_POW_CACHE)
+        ext[:old] = _POW_CACHE
+        prev = int(ext[old - 1])
+        for k in range(old, n):
+            prev = (prev * base) % mod
+            ext[k] = prev
+        _POW_CACHE = ext
+    return _POW_CACHE
+
+
+def _fingerprint_batch(batch: pd.Series) -> np.ndarray:
+    """Vectorized exact Horner: fingerprint(doc) = sum over tokens of
+    base^(n-1-i) * h(token_i) mod p, evaluated as one _modmul61 pass
+    over the batch-flattened token hashes plus per-doc segmented sums.
+
+    Exactness argument (naive numpy would wrap mod 2^64 BEFORE the mod-p
+    reduction — the round-1 minhash bug class): every product from
+    _modmul61 is < p = 2^61-1; the per-doc sums are taken over the hi/lo
+    32-bit halves separately, so they stay < n*2^29 and < n*2^32 (no
+    uint64 overflow for any physical doc), then are folded back mod p
+    with the Mersenne identity.
+    """
+    from .dedup import _modmul61  # runtime import: dedup imports us at top
+
+    p = _FP_MOD
+
+    def fold(x: np.ndarray) -> np.ndarray:
+        # x < 2^64 -> [0, p)
+        x = (x >> np.uint64(61)) + (x & p)
+        return np.where(x >= p, x - p, x)
+
+    out = np.zeros(len(batch), dtype=np.int64)
+    tok_arrays: list[np.ndarray] = []
+    lengths = np.zeros(len(batch), dtype=np.int64)
+    for i, text in enumerate(batch):
+        if not text:
+            continue
+        arr = np.array(text.split(" "), dtype=object)
+        arr = arr[arr != ""]
+        lengths[i] = arr.size
+        tok_arrays.append(arr)
+    total = int(lengths.sum())
+    if total == 0:
+        return out
+    # hash each DISTINCT token once: factorize is a C-speed hash pass,
+    # so the python-level hash_token cost collapses from O(tokens) to
+    # O(unique tokens) per batch (Zipfian vocab -> tiny)
+    codes, uniques = pd.factorize(np.concatenate(tok_arrays))
+    hs = np.fromiter(
+        (hash_token(t) for t in uniques), dtype=np.uint64, count=len(uniques)
+    )[codes]
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    # exponent per token: doc_len - 1 - position_in_doc
+    rep_len = np.repeat(lengths, lengths)
+    pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+    prods = _modmul61(_powers(int(lengths.max()))[rep_len - 1 - pos_in_doc], hs)
+    nz = lengths > 0
+    seg = starts[nz].astype(np.int64)
+    s_hi = fold(np.add.reduceat(prods >> np.uint64(32), seg))
+    s_lo = fold(np.add.reduceat(prods & np.uint64(0xFFFFFFFF), seg))
+    acc = _modmul61(s_hi, np.uint64(1) << np.uint64(32)) + s_lo
+    out[nz] = np.where(acc >= p, acc - p, acc).astype(np.int64)
+    return out
+
+
 def fingerprint_udf():
     """64-bit rolling polynomial hash over the token stream (Arrow batch).
 
     fingerprint(doc) = sum over tokens of base^i * h(token) mod 2^61-1 —
     order-sensitive, deterministic, and incremental-friendly (the
-    streaming path can extend it per appended chunk).
-    """
+    streaming path can extend it per appended chunk). The kernel is the
+    fully vectorized ``_fingerprint_batch`` (exact-mod _modmul61 Horner
+    with a power table — no per-token python arithmetic); equality with
+    the big-int loop is hypothesis-property-tested.
 
-    base, mod = int(_FP_BASE), int(_FP_MOD)
+    Measured honestly: the modular arithmetic itself vectorizes ~4x,
+    but end-to-end the kernel is bounded by tokenization + the C-level
+    factorize hash pass, so total throughput is roughly par with the
+    old memoized loop on adversarial (all-distinct) vocab and ahead on
+    Zipfian text where factorize collapses the per-token hash cost to
+    per-UNIQUE-token."""
 
     @F.pandas_udf(LongType())
     def _fp(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in it:
-            out = np.zeros(len(batch), dtype=np.int64)
-            for i, text in enumerate(batch):
-                if not text:
-                    continue
-                # exact python-int horner loop: acc*base can exceed
-                # 2^64, and numpy uint64 would wrap mod 2^64 BEFORE the
-                # mod-p reduction, silently changing the hash family
-                # (the round-1 minhash bug class). hash_token is
-                # memoized, so the per-token cost is the two int ops.
-                acc = 0
-                for tok in text.split(" "):
-                    if tok:
-                        acc = (acc * base + hash_token(tok)) % mod
-                out[i] = acc
-            yield pd.Series(out)
+            yield pd.Series(_fingerprint_batch(batch))
 
     return _fp
 

@@ -102,23 +102,32 @@ def _session_fn(gap_us: int):
             ts_us = (
                 rows["ts"].astype("datetime64[us]").astype("int64").sort_values()
             )
+            # Gap-split over the sorted new events WITH the open session
+            # inserted as an interval pseudo-item — this reproduces the
+            # batch semantics for every late-but-within-watermark event:
+            #   * inside [start-gap, last+gap]: merges (possibly pulling
+            #     session_start backwards);
+            #   * earlier than start-gap: forms its OWN earlier session
+            #     (round-3 ADVICE: previously absorbed, start yanked back
+            #     arbitrarily far), including chains of late events that
+            #     bridge up to the open session.
+            # Limitation (documented, unchanged): sessions closed in an
+            # EARLIER trigger already emitted; a late event can no longer
+            # merge into those. Early sessions closed HERE emit now, so a
+            # still-later event that would have bridged into one is
+            # likewise out of scope.
+            items = [(int(t), int(t), 1) for t in ts_us]
             if state.exists:
-                start_us, last_us, n = state.get
-            else:
-                start_us = last_us = int(ts_us.iloc[0])
-                n = 0
-            for t in (int(x) for x in ts_us):
-                if n > 0 and t - last_us > gap_us:
+                items.append(tuple(state.get))
+                items.sort(key=lambda x: (x[0], x[1]))
+            start_us, last_us, n = items[0]
+            for s, e, c in items[1:]:
+                if s - last_us > gap_us:
                     closed.append((start_us, last_us, n))
-                    start_us, n = t, 0
-                # a within-gap event may still PRECEDE the open session's
-                # start (late arrival inside the watermark): extend the
-                # session backwards so session_start matches the batch
-                # semantics. Merging/reordering of already-CLOSED sessions
-                # is out of scope (they emitted at watermark).
-                start_us = min(start_us, t)
-                last_us = max(last_us, t)
-                n += 1
+                    start_us, last_us, n = s, e, c
+                else:
+                    last_us = max(last_us, e)
+                    n += c
             state.update((start_us, last_us, n))
             # close the open session once the event-time watermark
             # passes last_ts + gap

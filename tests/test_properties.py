@@ -121,3 +121,30 @@ def test_modmul61_matches_bigint(avals, hvals):
     got = _modmul61(a, h)
     want = [(int(x) * int(y)) % int(_MERSENNE) for x, y in zip(a, h)]
     assert [int(v) for v in got] == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab cd"),  # spaces -> multi-token docs
+            min_size=0,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_fingerprint_kernel_matches_bigint_horner(texts):
+    """The vectorized _modmul61 power-table Horner must equal the exact
+    big-int loop for every doc (round-3 punch item: last per-token
+    python hot loop removed)."""
+    import pandas as pd
+
+    from large_scale_hypertextual_search_engine_spark.operators.textstats import (
+        _fingerprint_batch, fingerprint_py,
+    )
+
+    got = _fingerprint_batch(pd.Series(texts))
+    want = [fingerprint_py(t) for t in texts]
+    assert [int(v) for v in got] == want

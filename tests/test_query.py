@@ -171,3 +171,29 @@ def test_semantic_expander_hook(spark, indexes):
     ).collect()
     want = search(idx, ["spark", "join"], mode="and").collect()
     assert sorted(map(tuple, expanded)) == sorted(map(tuple, want))
+
+
+def test_search_batch_duplicate_terms_dedupe(spark, indexes):
+    """A caller repeating (query_id, term) must get the same result as
+    the deduped query — previously the duplicate inflated n_matched
+    (2x per doc) past n_found (distinct) and EVERY doc failed the AND
+    filter; scores also double-counted (round-3 punch item #6)."""
+    idx, _oracle = indexes
+    clean = spark.createDataFrame(
+        [(1, "spark"), (1, "join")], "query_id long, term string"
+    )
+    duped = spark.createDataFrame(
+        [(1, "spark"), (1, "join"), (1, "spark"), (1, "join"), (1, "join")],
+        "query_id long, term string",
+    )
+    for mode in ("and", "or"):
+        want = sorted(
+            (r["rank"], r["doc_int"], round(r["score"], 12))
+            for r in search_batch(idx, clean, top_k=5, mode=mode).collect()
+        )
+        got = sorted(
+            (r["rank"], r["doc_int"], round(r["score"], 12))
+            for r in search_batch(idx, duped, top_k=5, mode=mode).collect()
+        )
+        assert got == want, mode
+        assert len(want) > 0, mode

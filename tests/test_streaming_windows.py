@@ -152,3 +152,44 @@ def test_sessionize_late_event_extends_session_start(spark, tmp_path):
         for r in spark.sql("select * from late_sessions").collect()
     }
     assert (1, _ts(12, 0), _ts(12, 10), 2) in got, got
+
+
+def test_sessionize_far_late_event_is_own_session(spark, tmp_path):
+    """A within-watermark late event more than gap EARLIER than the open
+    session's start must close as its OWN session, not be absorbed with
+    session_start yanked back (round-3 ADVICE). A chain of late events
+    that bridges up to the open session, however, merges — batch
+    semantics gap-split over the union."""
+    src = str(tmp_path / "farlate")
+    spark.createDataFrame([], SCHEMA).write.parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    sess = sessionize_stream(stream, gap_minutes=30, watermark="6 hours")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("farlate_sessions")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        # user 1: open session at 12:00; late event 9:00 is >30min away
+        _feed(spark, q, src, [(1, _ts(12, 0), 1, "a", 1.0)])
+        _feed(spark, q, src, [(2, _ts(9, 0), 1, "a", 1.0)])
+        # user 2: open session at 12:00; late chain 11:10 + 11:35
+        # bridges (11:10->11:35 = 25min, 11:35->12:00 = 25min): one
+        # merged session starting 11:10
+        _feed(spark, q, src, [(3, _ts(12, 0), 2, "a", 1.0)])
+        _feed(spark, q, src, [(4, _ts(11, 10), 2, "a", 1.0), (5, _ts(11, 35), 2, "a", 1.0)])
+        # fenceposts flush everything
+        _feed(spark, q, src, [(6, datetime(2026, 1, 2, 5, 0), 9, "a", 1.0)])
+        _feed(spark, q, src, [(7, datetime(2026, 1, 3, 5, 0), 8, "a", 1.0)])
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from farlate_sessions").collect()
+    }
+    # user 1: two separate sessions
+    assert (1, _ts(9, 0), _ts(9, 0), 1) in got, got
+    assert (1, _ts(12, 0), _ts(12, 0), 1) in got, got
+    # user 2: one bridged session
+    assert (2, _ts(11, 10), _ts(12, 0), 3) in got, got
