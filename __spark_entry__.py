@@ -119,6 +119,25 @@ def q_ft_bm25_wand(spark, sf_dir):
     )
 
 
+def q_ft_phrase(spark, sf_dir):
+    """Positional phrase query "fast key": docs where the two tokens are
+    adjacent in order, scored like AND BM25 over the matching docs, plus
+    the phrase occurrence count. Exercises the position lists the
+    reference encodes but never reads (README.md:251-263 roadmap)."""
+    from large_scale_hypertextual_search_engine_spark.operators.phrase import (
+        phrase_search,
+    )
+
+    res = phrase_search(
+        _index(spark, sf_dir), ["fast", "key"], top_k=10, tf_mode="true"
+    )
+    return res.select(
+        "docid", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+    )
+
+
 def q_autocomplete_batch(spark, sf_dir):
     """suggest_many: per-length hash equi-joins, one job for N prefixes."""
     from large_scale_hypertextual_search_engine_spark.operators.autocomplete import (
@@ -652,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_and_compat": q_ft_bm25_and_compat,
         "ft_bm25_or": q_ft_bm25_or,
         "ft_bm25_wand": q_ft_bm25_wand,
+        "ft_phrase": q_ft_phrase,
         "ft_autocomplete": q_ft_autocomplete,
         "autocomplete_batch": q_autocomplete_batch,
         "dedup_exact": q_dedup_exact,
@@ -725,6 +745,61 @@ scored AS (
 SELECT docid,
        CAST(row_number() OVER (ORDER BY score DESC, docid ASC) AS INTEGER) AS rank,
        round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, docid ASC
+LIMIT 10"""
+
+
+def _phrase_true_sql(phrase: list[str]) -> str:
+    """Oracle for phrase_search: token positions via renumbered
+    ordinality (empties dropped THEN renumbered, matching
+    tokenize_simple), adjacency via a pos+i self-join chain, scoring
+    identical to _bm25_true_sql restricted to phrase-matching docs."""
+    inlist = ", ".join(f"'{t}'" for t in dict.fromkeys(phrase))
+    joins = " ".join(
+        f"JOIN tokp t{i} ON t{i}.docid = t0.docid AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, len(phrase))
+    )
+    conds = " AND ".join(
+        f"t{i}.term = '{t}'" for i, t in enumerate(phrase)
+    )
+    return f"""
+WITH {_TOKS},{_DL_STATS},
+tokp AS (
+  SELECT docid, term,
+         row_number() OVER (PARTITION BY docid ORDER BY ord) AS pos
+  FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS docid,
+           unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS ord
+    FROM documents
+  ) WHERE term <> ''
+),
+occ AS (
+  SELECT t0.docid, COUNT(*) AS n_occurrences
+  FROM tokp t0 {joins}
+  WHERE {conds}
+  GROUP BY t0.docid
+),
+tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ({inlist}) GROUP BY docid, term),
+dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
+scored AS (
+  SELECT t.docid, o.n_occurrences,
+         SUM( ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+            * (((1.5 + 1.0) * t.tf) /
+               (1.5 * (1.0 - 0.75 + 0.75 * (l.doc_len / s.avg_dl)) + t.tf)) ) AS score
+  FROM tfs t
+  JOIN occ o ON o.docid = t.docid
+  JOIN dfs f ON f.term = t.term
+  JOIN dl l ON l.docid = t.docid
+  CROSS JOIN stats s
+  GROUP BY t.docid, o.n_occurrences
+)
+SELECT docid,
+       CAST(row_number() OVER (ORDER BY score DESC, docid ASC) AS INTEGER) AS rank,
+       round(score, 6) AS score,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences
 FROM scored
 ORDER BY score DESC, docid ASC
 LIMIT 10"""
@@ -822,6 +897,7 @@ FROM (SELECT CAST(doc_id AS VARCHAR) AS docid FROM documents)""",
         "ft_bm25_or": _bm25_true_sql(["merge", "window"], "or"),
         # WAND is exact top-k: the oracle is the same SQL as ft_bm25_or
         "ft_bm25_wand": _bm25_true_sql(["merge", "window"], "or"),
+        "ft_phrase": _phrase_true_sql(["fast", "key"]),
         "autocomplete_batch": f"""
 WITH {_TOKS},
 lex AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),

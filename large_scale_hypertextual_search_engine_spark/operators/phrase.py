@@ -1,0 +1,220 @@
+"""Positional (quoted-phrase) queries over the inverted index.
+
+The index already pays full freight for position lists (encoded per the
+reference layout, indexer4.cpp:304-322 — byte-exact by test), but the
+reference never reads them at query time (Query-engine.hpp:72-77 skips
+them) and lists phrase search as roadmap (README.md:251-263). Its
+cross-field position bags would make phrases unsound anyway (quirk
+Q12); OUR per-field token stream has no such defect, so this module
+closes the gap the reference could not.
+
+Semantics: for a phrase [t_0 .. t_{m-1}], a document matches iff some
+position p has t_i at p+i for every i — the terms appear adjacent and
+in order, where "position" is the analyzer's token numbering (compat
+mode numbers the PRE-filter token runs, so a removed stopword leaves a
+gap: "machine the learning" does NOT match the phrase "machine
+learning" — faithful to what was actually adjacent in the text).
+Matching docs are scored with the SAME per-distinct-term BM25 sum,
+ascending-sorted deterministic FP fold, and (score desc, doc_int asc)
+tiebreak as ``query.search`` AND mode — a phrase query IS an AND query
+with an adjacency filter — plus ``n_occurrences`` (count of phrase
+start positions).
+
+Spark-first shape: ONE decode pass, ONE shuffle (the groupBy doc),
+broadcast slot/top-k joins. The adjacency test is pure JVM Column work:
+``transform(positions, p -> p - i)`` per phrase slot, then a fold of
+``array_intersect`` over the per-doc slot arrays — surviving values ARE
+the phrase start positions. No Python beyond the shared Arrow decode
+kernel. At 100 TB the plan is the ``search_batch`` plan: bucket-pruned
+blob scan prunes partition dirs, per-term blobs decode where they live,
+candidate rows shuffle once on doc.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.bm25 import K1, B, bm25_score
+from ..functions.varbyte import decode_postings
+from .query import _stats, prune_buckets
+
+POS_DECODED_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("df", LongType()),
+        StructField("doc_int", LongType()),
+        StructField("tf", LongType()),
+        StructField("positions", ArrayType(LongType())),
+    ]
+)
+
+
+def decode_postings_positions_df(
+    postings: DataFrame, terms: list[str] | None = None
+) -> DataFrame:
+    """postings table -> (term, df, doc_int, tf, positions) rows.
+
+    Same Arrow-batched shape as ``query.decode_postings_df`` but runs
+    the full-position decode (positions ride as one list column, split
+    from the kernel's flat array by tf — no per-position python)."""
+    src = postings
+    if terms is not None:
+        src = src.filter(F.col("term").isin(list(terms)))
+    has_blocks = "blocks" in postings.columns
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            blockss = pdf["blocks"] if has_blocks else [None] * len(pdf)
+            for term, df_, blob, blocks in zip(
+                pdf["term"], pdf["df"], pdf["postings"], blockss
+            ):
+                offs = (
+                    np.array([b["offset"] for b in blocks], dtype=np.int64)
+                    if blocks is not None
+                    else None
+                )
+                docids, tfs, flat_pos = decode_postings(bytes(blob), offs)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "term": np.repeat(term, docids.size),
+                            "df": np.repeat(np.int64(df_), docids.size),
+                            "doc_int": docids,
+                            "tf": tfs,
+                            "positions": np.split(flat_pos, np.cumsum(tfs)[:-1]),
+                        }
+                    )
+                )
+            if not frames:
+                yield pd.DataFrame(
+                    {
+                        "term": pd.Series([], dtype=object),
+                        "df": pd.Series([], dtype="int64"),
+                        "doc_int": pd.Series([], dtype="int64"),
+                        "tf": pd.Series([], dtype="int64"),
+                        "positions": pd.Series([], dtype=object),
+                    }
+                )
+                continue
+            yield pd.concat(frames, ignore_index=True)
+
+    cols = ["term", "df", "postings"] + (["blocks"] if has_blocks else [])
+    return src.select(*cols).mapInPandas(_decode, POS_DECODED_SCHEMA)
+
+
+def _phrase_grouped(
+    index: dict[str, DataFrame],
+    phrase: list[str],
+    tf_mode: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared pipeline: decode once, adjacency-match, carry per-term
+    BM25 scores through the single doc-shuffle. Returns
+    (doc_int, n_occurrences, tscores) for phrase-matching docs."""
+    if not phrase:
+        raise ValueError("empty phrase")
+    m = len(phrase)
+    n_docs, avg_dl = _stats(index)
+    uniq = list(dict.fromkeys(phrase))
+    spark = index["postings"].sparkSession
+
+    decoded = decode_postings_positions_df(prune_buckets(index, uniq), uniq)
+    slots = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(phrase)], "idx long, term string"
+    )
+    doc_stats = index["doc_stats"].select("doc_int", "doc_len")
+    tf_eff = F.lit(1.0) if tf_mode == "compat" else F.col("tf").cast("double")
+    cand = (
+        decoded.join(F.broadcast(slots), "term")
+        .withColumn("adj", F.transform("positions", lambda p: p - F.col("idx")))
+        .join(doc_stats, "doc_int", "left")
+        .withColumn(
+            "dl",
+            F.coalesce(F.col("doc_len"), F.floor(F.lit(avg_dl))).cast("double"),
+        )
+        .withColumn(
+            "term_score",
+            bm25_score(
+                tf_eff, F.col("df"), F.col("dl"),
+                F.lit(float(n_docs)), F.lit(avg_dl), k1, b,
+            ),
+        )
+    )
+    grouped = cand.groupBy("doc_int").agg(
+        F.count("*").alias("n_slots"),
+        F.sort_array(F.collect_list(F.struct("idx", "adj"))).alias("items"),
+        # collect_SET: a term repeated in the phrase contributes one
+        # (term, score) pair, matching search()'s distinct-term scoring
+        F.collect_set(F.struct("term", "term_score")).alias("tscores"),
+    )
+    starts = F.aggregate(
+        F.slice(F.col("items"), 2, m - 1),
+        F.col("items")[0]["adj"],
+        lambda acc, x: F.array_intersect(acc, x["adj"]),
+    )
+    return (
+        grouped.filter(F.col("n_slots") == m)
+        .withColumn("n_occurrences", F.size(starts))
+        .filter(F.col("n_occurrences") > 0)
+        .select("doc_int", "n_occurrences", "tscores")
+    )
+
+
+def phrase_match_docs(
+    index: dict[str, DataFrame],
+    phrase: list[str],
+    tf_mode: str = "true",
+) -> DataFrame:
+    """-> (doc_int, n_occurrences) for docs containing the exact
+    phrase (match only, no ranking)."""
+    return _phrase_grouped(index, phrase, tf_mode, K1, B).select(
+        "doc_int", "n_occurrences"
+    )
+
+
+def phrase_search(
+    index: dict[str, DataFrame],
+    phrase: list[str],
+    top_k: int = 10,
+    tf_mode: str = "true",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Quoted-phrase top-k -> (rank, doc_int, docid, score,
+    n_occurrences), rank-consistent with ``query.search`` AND mode on
+    the shared candidates (same scores, bit-identical FP fold)."""
+    matched = _phrase_grouped(index, phrase, tf_mode, k1, b)
+    per_doc = matched.withColumn(
+        "score",
+        F.aggregate(
+            F.sort_array(
+                F.transform(F.col("tscores"), lambda x: x["term_score"])
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_int"))
+    topk = (
+        per_doc.orderBy(F.desc("score"), F.asc("doc_int"))
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return (
+        F.broadcast(topk)
+        .join(index["docid_map"], "doc_int")
+        .select("rank", "doc_int", "docid", "score", "n_occurrences")
+    )

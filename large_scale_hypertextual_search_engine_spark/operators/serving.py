@@ -38,7 +38,7 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.bm25 import B, K1
-from ..functions.varbyte import decode_postings_fast
+from ..functions.varbyte import decode_postings, decode_postings_fast
 from .query import prune_buckets
 
 
@@ -113,6 +113,30 @@ class SearchServer:
             self._put(t, entries[t])
         return entries
 
+    def _fetch_positions(
+        self, terms: list[str]
+    ) -> dict[str, tuple[int, np.ndarray, np.ndarray, np.ndarray]]:
+        """One bucket-pruned Spark job decoding FULL positions for the
+        given terms -> {term: (df, docids, tfs, flat_positions)}.
+        Positions are not LRU-cached: a position list is ~tf/2 x the
+        docid list, so caching phrase fetches would multiply resident
+        memory for a query type that is a small minority of traffic."""
+        src = prune_buckets(self._index, terms).filter(
+            F.col("term").isin(list(terms))
+        )
+        has_blocks = "blocks" in src.columns
+        cols = ["term", "df", "postings"] + (["blocks"] if has_blocks else [])
+        out: dict[str, tuple] = {}
+        for r in src.select(*cols).collect():
+            offs = (
+                np.array([b["offset"] for b in r["blocks"]], dtype=np.int64)
+                if has_blocks
+                else None
+            )
+            docids, tfs, flat_pos = decode_postings(bytes(r["postings"]), offs)
+            out[r["term"]] = (int(r["df"]), docids, tfs, flat_pos)
+        return out
+
     def _put(self, term: str, entry) -> None:
         self._cache[term] = entry
         self._cache.move_to_end(term)
@@ -185,6 +209,84 @@ class SearchServer:
                 "doc_int": int(uniq_docs[j]),
                 "docid": self._docids[int(uniq_docs[j])],
                 "score": float(sums[j]),
+            }
+            for i, j in enumerate(top)
+        ]
+
+    def search_phrase(
+        self,
+        phrase: list[str],
+        top_k: int = 10,
+        tf_mode: str = "true",
+        k1: float = K1,
+        b: float = B,
+    ) -> list[dict]:
+        """Quoted-phrase top-k, rank- and score-identical to
+        ``operators.phrase.phrase_search``. The adjacency test is the
+        numpy mirror of the Spark path's array_intersect fold: per
+        phrase slot i every (doc, position - i) pair is emitted, then
+        one lexsort groups equal (doc, adjusted) keys — a key held by
+        all m slots is a phrase start."""
+        if not phrase:
+            raise ValueError("empty phrase")
+        m = len(phrase)
+        uniq = list(dict.fromkeys(phrase))
+        pos = self._fetch_positions(uniq)
+        if any(t not in pos for t in uniq):
+            return []  # a term with no postings can never phrase-match
+
+        doc_parts, adj_parts = [], []
+        for i, t in enumerate(phrase):
+            _df, docids, tfs, flat_pos = pos[t]
+            doc_parts.append(np.repeat(docids, tfs))
+            adj_parts.append(flat_pos - i)
+        docs = np.concatenate(doc_parts)
+        adjs = np.concatenate(adj_parts)
+        order = np.lexsort((adjs, docs))
+        docs, adjs = docs[order], adjs[order]
+        # group boundaries of equal (doc, adj); a group of size m has
+        # every slot (each slot contributes at most one row per key)
+        new_grp = np.empty(docs.size, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (docs[1:] != docs[:-1]) | (adjs[1:] != adjs[:-1])
+        grp_start = np.flatnonzero(new_grp)
+        grp_len = np.diff(np.append(grp_start, docs.size))
+        full = grp_len == m
+        if not full.any():
+            return []
+        start_docs = docs[grp_start[full]]
+        phrase_docs, n_occ = np.unique(start_docs, return_counts=True)
+
+        # scoring: identical expression tree + ascending per-doc fold as
+        # search() AND mode, restricted to the phrase docs (which by
+        # construction contain every distinct term)
+        parts = []
+        for t in uniq:
+            df, docids, tfs, _fp = pos[t]
+            idf = np.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            tf = (
+                np.float64(1.0)
+                if tf_mode == "compat"
+                else tfs[np.searchsorted(docids, phrase_docs)].astype(np.float64)
+            )
+            dl = self._dl[phrase_docs]
+            tfc = ((k1 + 1.0) * tf) / (
+                k1 * (1.0 - b + b * (dl / self.avg_dl)) + tf
+            )
+            parts.append(np.broadcast_to(idf * tfc, phrase_docs.shape))
+        scores = np.sort(np.stack(parts), axis=0)
+        sums = np.zeros(phrase_docs.size)
+        for row in scores:
+            sums = sums + row
+        k = min(top_k, phrase_docs.size)
+        top = np.lexsort((phrase_docs, -sums))[:k]
+        return [
+            {
+                "rank": i + 1,
+                "doc_int": int(phrase_docs[j]),
+                "docid": self._docids[int(phrase_docs[j])],
+                "score": float(sums[j]),
+                "n_occurrences": int(n_occ[j]),
             }
             for i, j in enumerate(top)
         ]

@@ -133,7 +133,17 @@ def cmd_search(args) -> None:
         _search_served(spark, idx, args)
         return
     t0 = time.time()
-    if args.wand:
+    if args.phrase:
+        from large_scale_hypertextual_search_engine_spark.operators.phrase import (
+            phrase_search,
+        )
+
+        if args.analyzer == "simple":
+            terms = tokenize_simple(args.query)
+        else:
+            terms = [t.term for t in tokenize_compat(args.query, stem=args.stem)]
+        res = phrase_search(idx, terms, top_k=args.top_k, tf_mode=args.tf_mode)
+    elif args.wand:
         if args.analyzer == "simple":
             terms = tokenize_simple(args.query)
         else:
@@ -157,7 +167,8 @@ def cmd_search(args) -> None:
     record_metrics(args.index, "search", [{
         "stage": "query", "key": "latency_ms",
         "value": round(wall * 1000, 1),
-        "query": args.query, "path": "wand" if args.wand else "exact",
+        "query": args.query,
+        "path": "phrase" if args.phrase else ("wand" if args.wand else "exact"),
         "hits": len(rows),
     }])
     print(json.dumps({"latency_ms": round(wall * 1000, 1), "hits": len(rows)}))
@@ -497,6 +508,10 @@ def main() -> None:
     p.add_argument("--analyzer", default="compat", choices=["compat", "simple"])
     p.add_argument("--stem", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--wand", action="store_true", help="Block-Max WAND path")
+    p.add_argument(
+        "--phrase", action="store_true",
+        help="quoted-phrase query: terms must be adjacent and in order",
+    )
     p.add_argument(
         "--serve", action="store_true",
         help="warm in-memory serving path (SearchServer)",
