@@ -94,3 +94,30 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns
+
+
+def test_stored_oracle_paths_are_per_sf(spark):
+    """Round-3 ADVICE: the stored-artifact oracle paths must be derived
+    from sf_dir so interleaved runs at two SFs cannot cross-contaminate.
+    Snapshot the oracle SQL after the sf0.001 run, run the same entry at
+    sf0.01 (overwriting ITS OWN path only), then verify the sf0.001
+    snapshot still matches the sf0.001 artifacts."""
+    name = "dedup_minhash_banded"
+    q = entry_mod.queries()[name]
+
+    sdf1 = q(spark, "/root/testdata/sf0.001")
+    srows1 = _rowset([r.asDict() for r in sdf1.collect()], sorted(sdf1.columns))
+    sql1 = entry_mod.oracle_sql()[name]
+
+    sdf2 = q(spark, "/root/testdata/sf0.01")
+    sql2 = entry_mod.oracle_sql()[name]
+    assert sql1 != sql2  # different SF -> different artifact path
+
+    # the sf0.001 oracle still reproduces the sf0.001 result afterwards
+    con = _duck()
+    cur = con.execute(sql1)
+    ocols = [d[0] for d in cur.description]
+    orows = _rowset(
+        [dict(zip(ocols, r)) for r in cur.fetchall()], sorted(ocols)
+    )
+    assert orows == srows1

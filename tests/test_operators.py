@@ -459,3 +459,115 @@ def test_frame_sample_fake_contract(spark):
         assert "NotImplementedError" in str(ei.value) or isinstance(
             ei.value, NotImplementedError
         )
+
+
+def test_minhash_stored_equals_in_memory(spark, dup_docs, tmp_path):
+    """The persisted-signature path (write sigs -> read back ->
+    minhash_pairs_from_signatures) must return exactly the in-memory
+    minhash_lsh_pairs result — the fold of the primary queries() entry
+    onto the stored twin rests on this equivalence."""
+    from large_scale_hypertextual_search_engine_spark.operators.dedup import (
+        minhash_pairs_from_signatures,
+    )
+
+    want = sorted(
+        (r["id_a"], r["id_b"], round(r["est_jaccard"], 12))
+        for r in minhash_lsh_pairs(dup_docs, threshold=0.5).collect()
+    )
+    p = str(tmp_path / "sigs")
+    minhash_signatures(dup_docs, "text", "doc_id").write.parquet(p)
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["est_jaccard"], 12))
+        for r in minhash_pairs_from_signatures(
+            spark.read.parquet(p), "doc_id", threshold=0.5
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_decode_media_real_stdlib_formats(spark):
+    """REAL decode executes in this codec-library-free sandbox: the
+    checked-in PNG (all five scanline filters) / BMP (bottom-up,
+    padded) / PPM fixtures — encoded by an independent spec-following
+    generator (tests/data/make_fixtures.py) — must decode pixel-exact
+    through the Spark decode_media path with fake=False."""
+    from pathlib import Path
+
+    from tests.data.make_fixtures import (
+        encode_bmp, encode_png, encode_ppm, pattern,
+    )
+
+    d = Path(__file__).parent / "data"
+    px = pattern()
+    payloads = {
+        1: (d / "sample.png").read_bytes(),
+        2: (d / "sample.bmp").read_bytes(),
+        3: (d / "sample.ppm").read_bytes(),
+    }
+    # checked-in fixtures match the generator (guards silent drift)
+    assert payloads[1] == encode_png(px)
+    assert payloads[2] == encode_bmp(px)
+    assert payloads[3] == encode_ppm(px)
+
+    df = spark.createDataFrame(
+        list(payloads.items()), "media_id long, payload binary"
+    )
+    out = {
+        r["media_id"]: r
+        for r in decode_media(df, target_size=(7, 5), fake=False).collect()
+    }
+    for mid in payloads:
+        r = out[mid]
+        assert (r["width"], r["height"], r["channels"]) == (7, 5, 3)
+        assert bytes(r["pixels"]) == px.tobytes(), mid
+
+    # nearest-neighbor resize path: downsample shape + determinism
+    small = {
+        r["media_id"]: bytes(r["pixels"])
+        for r in decode_media(df, target_size=(3, 2), fake=False).collect()
+    }
+    assert all(len(v) == 3 * 2 * 3 for v in small.values())
+    # all three fixtures hold the same image -> identical resized pixels
+    assert len(set(small.values())) == 1
+
+
+def test_decode_stdlib_gray_and_rgba_png(spark):
+    """Color-type coverage: 8-bit greyscale expands to RGB; RGBA drops
+    alpha."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from large_scale_hypertextual_search_engine_spark.operators.multimodal import (
+        _decode_image_stdlib,
+    )
+
+    def png(px, color_type):
+        h, w = px.shape[:2]
+        ch = 1 if color_type == 0 else 4
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        raw = b"".join(
+            b"\x00" + px[y].reshape(-1).astype(np.uint8).tobytes()
+            for y in range(h)
+        )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    got = _decode_image_stdlib(png(gray, 0))
+    assert got.shape == (3, 4, 3)
+    assert np.array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+
+    rgba = np.arange(3 * 4 * 4, dtype=np.uint8).reshape(3, 4, 4)
+    got = _decode_image_stdlib(png(rgba, 6))
+    assert np.array_equal(got, rgba[:, :, :3])
