@@ -131,6 +131,14 @@ def main() -> None:
         "bm25_wand",
         lambda: wand_search(idx, ["spark", "join"], top_k=10).count(),
     )
+    from large_scale_hypertextual_search_engine_spark.operators.phrase import (
+        phrase_search,
+    )
+
+    timed(
+        "bm25_phrase",
+        lambda: phrase_search(idx, ["fast", "key"], top_k=10).count(),
+    )
     from large_scale_hypertextual_search_engine_spark.operators.wand import (
         wand_search_batch,
     )
@@ -163,7 +171,9 @@ def main() -> None:
         SearchServer,
     )
 
+    t0 = time.time()
     ssrv = SearchServer(idx)
+    extra["serving_cold_start_s"] = round(time.time() - t0, 3)
     ssrv.search(["spark", "join"])  # cold fetch (one pruned Spark job)
     t0 = time.time()
     for _ in range(50):
