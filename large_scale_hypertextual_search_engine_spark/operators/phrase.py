@@ -185,6 +185,97 @@ def phrase_match_docs(
     )
 
 
+def phrase_search_batch(
+    index: dict[str, DataFrame],
+    phrases: dict[int, list[str]],
+    top_k: int = 10,
+    tf_mode: str = "true",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """N phrase queries as ONE Spark job ->
+    (query_id, rank, doc_int, docid, score, n_occurrences).
+
+    Same single-shuffle shape as ``query.search_batch``: distinct terms
+    decode once, candidates repartition by query_id so the per-doc agg
+    and the per-query top-k window share one exchange. Per-query phrase
+    lengths differ, so the all-slots-present check joins a broadcast
+    per-query slot count instead of a literal."""
+    if not phrases or any(not p for p in phrases.values()):
+        raise ValueError("phrases must be non-empty lists")
+    n_docs, avg_dl = _stats(index)
+    spark = index["postings"].sparkSession
+    all_terms = list(dict.fromkeys(t for p in phrases.values() for t in p))
+
+    decoded = decode_postings_positions_df(
+        prune_buckets(index, all_terms), all_terms
+    )
+    slots = spark.createDataFrame(
+        [(qid, i, t) for qid, p in phrases.items() for i, t in enumerate(p)],
+        "query_id long, idx long, term string",
+    )
+    m_per_q = spark.createDataFrame(
+        [(qid, len(p)) for qid, p in phrases.items()], "query_id long, m long"
+    )
+    doc_stats = index["doc_stats"].select("doc_int", "doc_len")
+    tf_eff = F.lit(1.0) if tf_mode == "compat" else F.col("tf").cast("double")
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cand = (
+        decoded.join(F.broadcast(slots), "term")
+        .repartition(npart, "query_id")
+        .withColumn("adj", F.transform("positions", lambda p: p - F.col("idx")))
+        .join(doc_stats, "doc_int", "left")
+        .withColumn(
+            "dl",
+            F.coalesce(F.col("doc_len"), F.floor(F.lit(avg_dl))).cast("double"),
+        )
+        .withColumn(
+            "term_score",
+            bm25_score(
+                tf_eff, F.col("df"), F.col("dl"),
+                F.lit(float(n_docs)), F.lit(avg_dl), k1, b,
+            ),
+        )
+    )
+    grouped = cand.groupBy("query_id", "doc_int").agg(
+        F.count("*").alias("n_slots"),
+        F.sort_array(F.collect_list(F.struct("idx", "adj"))).alias("items"),
+        F.collect_set(F.struct("term", "term_score")).alias("tscores"),
+    )
+    starts = F.aggregate(
+        F.expr("slice(items, 2, size(items) - 1)"),
+        F.col("items")[0]["adj"],
+        lambda acc, x: F.array_intersect(acc, x["adj"]),
+    )
+    per_doc = (
+        grouped.join(F.broadcast(m_per_q), "query_id")
+        .filter(F.col("n_slots") == F.col("m"))
+        .withColumn("n_occurrences", F.size(starts))
+        .filter(F.col("n_occurrences") > 0)
+        .withColumn(
+            "score",
+            F.aggregate(
+                F.sort_array(
+                    F.transform(F.col("tscores"), lambda x: x["term_score"])
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_int"))
+    topk = (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "rank", "doc_int", "score", "n_occurrences")
+    )
+    return (
+        F.broadcast(topk)
+        .join(index["docid_map"], "doc_int")
+        .select("query_id", "rank", "doc_int", "docid", "score", "n_occurrences")
+    )
+
+
 def phrase_search(
     index: dict[str, DataFrame],
     phrase: list[str],

@@ -164,3 +164,32 @@ def test_server_phrase_matches_spark_phrase(spark, simple_index):
         assert [g[:4] for g in got] == [w[:4] for w in want], ph
         for g, w in zip(got, want):
             assert g[4] == pytest.approx(w[4], abs=1e-12, rel=1e-12), (ph, g, w)
+
+
+def test_phrase_search_batch_matches_single(spark, simple_index):
+    """phrase_search_batch (one job for N phrases, mixed lengths) must
+    equal per-phrase phrase_search exactly, including scores and
+    occurrence counts."""
+    from large_scale_hypertextual_search_engine_spark.operators.phrase import (
+        phrase_search_batch,
+    )
+
+    idx, _docs = simple_index
+    phrases = {
+        1: PHRASE,
+        2: [PHRASE[0]],
+        3: ["merge", "window"],
+        4: ["zz_nosuchterm", PHRASE[0]],
+    }
+    got = {}
+    for r in phrase_search_batch(idx, phrases, top_k=10).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_int"], r["docid"], r["n_occurrences"], r["score"])
+        )
+    for qid, ph in phrases.items():
+        want = [
+            (r["rank"], r["doc_int"], r["docid"], r["n_occurrences"], r["score"])
+            for r in phrase_search(idx, ph, top_k=10).orderBy("rank").collect()
+        ]
+        rows = sorted(got.get(qid, []))
+        assert rows == sorted(want), (qid, ph)
