@@ -98,3 +98,38 @@ def test_tpch_q5_broadcasts_all_dims(spark):
     plan = _plan(entry.q_tpch_q5(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_phrase_search_plan_shape(spark, small_index):
+    """Phrase plan: the positions decode kernel runs exactly ONCE (the
+    match and the scoring both feed off the same grouped frame), the
+    term predicate reaches the postings scan, and the slot/top-k joins
+    broadcast — no sort-merge join anywhere in a phrase query."""
+    from large_scale_hypertextual_search_engine_spark.operators.phrase import (
+        phrase_search,
+    )
+
+    plan = _plan(phrase_search(small_index, ["the", "and"], top_k=5))
+    assert len(re.findall(r"MapInPandas", plan)) == 1, plan
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert any("term" in l and " IN " in l for l in scan_lines), scan_lines
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_phrase_search_batch_plan_shape(spark, small_index):
+    """Batch phrase mirrors search_batch: one decode kernel, one
+    explicit query_id repartition feeding both the per-doc agg and the
+    per-query window."""
+    from large_scale_hypertextual_search_engine_spark.operators.phrase import (
+        phrase_search_batch,
+    )
+
+    plan = _plan(
+        phrase_search_batch(
+            small_index, {1: ["the", "and"], 2: ["the"]}, top_k=5
+        )
+    )
+    assert len(re.findall(r"MapInPandas", plan)) == 1, plan
+    assert len(re.findall(r"REPARTITION_BY_NUM", plan)) == 1, plan
+    assert "SortMergeJoin" not in plan, plan
