@@ -29,10 +29,21 @@ Methodology notes (all enforced below):
   SCALING_QREPS times against the one built index per subprocess
   (best-of), since they are cheap relative to the build.
 
-The measured jobs are the engine core: (1) analyze + salted two-phase
-postings build + write over a deterministically generated synthetic
-code corpus (sources.corpus.synthetic_code_corpus, seed=42), and
-(2) a 256-query mixed BM25 batch over the built index.
+The measured jobs are the engine core: (1) the canonical materialized
+index build (plans.lineage.build_and_save_index — analyze + salted
+two-phase postings build + the FULL artifact set written once, each
+stage materialized exactly once) over a deterministically generated
+synthetic code corpus (sources.corpus.synthetic_code_corpus, seed=42),
+and (2) a 256-query mixed BM25 batch over the built index.
+
+r04 protocol changes (each individually documented inline):
+* the timed job is the staged lineage build (full artifact set, no
+  lineage recompute) instead of build_index + postings-only write;
+* input/shuffle partitioning is FIXED across levels (sized for the
+  high level) so both levels run the byte-identical job — mirroring
+  the fixed-shard WAND protocol;
+* the steal probe takes max-of-6 half-second windows (stall-robust)
+  and the post-job probe runs after spark.stop().
 Results go to BENCH/BASELINE.md (see repo root).
 """
 
@@ -55,23 +66,47 @@ os.sched_setaffinity(0, set(range(cores)))
 sys.path.insert(0, os.getcwd())  # parent sets cwd to the repo root
 
 # --- steal calibration probe -------------------------------------------
-# A ~1s single-threaded numpy burn, run BEFORE and AFTER the timed job.
-# Only one thread is busy, so the probe never contends with itself; its
+# A single-threaded numpy burn, run BEFORE and AFTER the timed job. Only
+# one thread is busy, so the probe never contends with itself; its
 # throughput is a pure measure of host weather (hypervisor steal /
 # frequency) in this window. The parent compares the N-level and
 # 4N-level burn scores: a paired round is "steal-symmetric" only when
 # both levels saw the same weather (ratio within SCALING_BURN_TOL).
+#
+# Robustness (r04): a single 1-s window is fragile — one multi-second
+# hypervisor stall inside it destroys the sample (observed burn scores
+# of 0.3 iters/s vs ~400 clean). The probe now takes SIX 0.5-s windows
+# and reports the MAX: if any window is stall-free it measures the true
+# clean-clock rate, which is what the symmetry gate needs to compare.
 import numpy as _np
-def _burn(seconds=1.0):
+def _burn(seconds=0.5, windows=6):
     a = _np.random.default_rng(0).random(2_000_000)
-    iters = 0; t0 = time.perf_counter()
-    while time.perf_counter() - t0 < seconds:
-        (a * 1.0000001).sum(); iters += 1
-    return round(iters / (time.perf_counter() - t0), 1)
+    best = 0.0
+    for _ in range(windows):
+        iters = 0; t0 = time.perf_counter()
+        while time.perf_counter() - t0 < seconds:
+            (a * 1.0000001).sum(); iters += 1
+        best = max(best, iters / (time.perf_counter() - t0))
+    return round(best, 1)
 def _steal_cs():
     # cumulative host steal time (USER_HZ ticks) from /proc/stat
     with open("/proc/stat") as f:
         return int(f.readline().split()[8])
+def _steal_pinned_cs():
+    # cumulative steal ticks summed over ONLY the pinned cpuset. Steal
+    # on the pinned CPUs is capacity the job was charged for but never
+    # had: effective core-seconds = cores*wall - steal_pinned. Recording
+    # it per level lets the parent report a steal-adjusted efficiency
+    # alongside the raw one (the 4N level exposes 4x the CPUs to host
+    # steal, so a steal burst biases raw efficiency down structurally).
+    want = {f"cpu{c}" for c in range(cores)}
+    tot = 0
+    with open("/proc/stat") as f:
+        for line in f:
+            p = line.split()
+            if p and p[0] in want:
+                tot += int(p[8])
+    return tot
 burn_before = _burn(); steal0 = _steal_cs(); wall0 = time.time()
 
 from pyspark.sql import functions as F
@@ -79,40 +114,95 @@ from large_scale_hypertextual_search_engine_spark.session import get_spark
 from large_scale_hypertextual_search_engine_spark.sources.corpus import (
     synthetic_code_corpus,
 )
-from large_scale_hypertextual_search_engine_spark.operators.index_build import (
-    build_index,
+from large_scale_hypertextual_search_engine_spark.plans.lineage import (
+    build_and_save_index,
+    load_index,
 )
 from large_scale_hypertextual_search_engine_spark.operators.query import search_batch
 
-spark = get_spark(app_name=f"scaling-{cores}", cores=cores)
+# --- identical job at both levels (r04) --------------------------------
+# Partitioning is FIXED across levels (default: sized for the HIGH
+# level) so both levels run the byte-identical job — the low level just
+# runs more waves per stage. Scaling partition counts with cores (the
+# pre-r04 behavior) confounds the comparison: 4x more/smaller partitions
+# means 4x the per-partition fixed costs (pandas-UDF setup, per-batch
+# kernel warmup) charged only to the high level. A real two-cluster-size
+# comparison runs the SAME partitioned job on more machines; this
+# mirrors the fixed-shard protocol the WAND metric already uses.
+_hi_cores = 4 * int(os.environ.get("SCALING_N", "4"))
+fixed_input = int(os.environ.get("SCALING_INPUT_PARTS", str(4 * _hi_cores)))
+fixed_shuffle = int(os.environ.get("SCALING_SHUFFLE_PARTS", str(2 * _hi_cores)))
+# smaller scan splits so the staged build's parquet-to-parquet stages
+# (tokens -> postings) read with enough partitions to feed the HIGH
+# level; identical at both levels (job-level constant, like the rest)
+extra = {
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SCALING_MAX_PART_BYTES", str(8 * 1024 * 1024)
+    ),
+}
+if os.environ.get("SCALING_EVENTLOG_DIR"):
+    extra.update({
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.dir": os.environ["SCALING_EVENTLOG_DIR"],
+    })
+spark = get_spark(
+    app_name=f"scaling-{cores}", cores=cores,
+    shuffle_partitions=fixed_shuffle, extra_conf=extra,
+)
 spark.sparkContext.setLogLevel("ERROR")
 
 def _t(fn):
     t0 = time.time(); fn(); return time.time() - t0
 docs = synthetic_code_corpus(
-    spark, n_docs, seed=42, max_tokens=400, partitions=4 * cores
+    spark, n_docs, seed=42, max_tokens=400, partitions=fixed_input
 ).select("docid", "content").cache()
 n = docs.count()
 
-t0 = time.time()
-idx = build_index(docs, mode="compat", stem=True, salt_buckets=8)
-idx["postings"].write.mode("overwrite").parquet(f"/tmp/scaling_{cores}_postings")
+# The timed job is the CANONICAL materialized build (r04): every index
+# artifact — tokens, docid_map, doc_stats, collection_stats, postings,
+# lexicon — is written exactly once via the staged lineage build. The
+# pre-r04 runner timed build_index + a postings-only write, then wrote
+# the other artifacts from the same lazy dict, which re-ran the full
+# tokenize lineage up to 3 more times (event-log verified: the ~250
+# task-s analyzer stage appeared 4x per level). That waste sat outside
+# the timed region but tripled round wall-time, and the timed region
+# under-represented the real job. This is also the honest 100 TB
+# metric: a production build writes the whole artifact set.
+# Strategy defaults to "spimi" here — the cluster-scale path (narrow
+# per-partition phase-1 encode; only ~2-4 B/posting compressed runs
+# cross the phase-2 exchange). The north rule is about two CLUSTER
+# sizes, so the bench measures the strategy a cluster would run; the
+# salted path (single-node default) is A/B-able via SCALING_STRATEGY.
+# Event-log accounting motivated this: the salted path's JVM
+# collect_list + Arrow-flatten encode stage is memory-bandwidth-bound
+# and its task-seconds inflated 6.3x from 4 to 16 concurrent tasks on
+# this host, while the compute-bound analyzer stage inflated only
+# 1.45x — bandwidth contention, not engine serialization.
+import shutil
+strategy = os.environ.get("SCALING_STRATEGY", "spimi")
+idx_dir = f"/tmp/scaling_{cores}_idx"
+shutil.rmtree(idx_dir, ignore_errors=True)
+t0 = time.time(); bsteal0 = _steal_pinned_cs()
+build_and_save_index(
+    docs, idx_dir, fingerprint=f"scaling-{cores}-{strategy}-{wall0}",
+    mode="compat", stem=True, salt_buckets=8, strategy=strategy,
+)
 build_s = time.time() - t0
-for name in ("doc_stats", "lexicon", "docid_map", "collection_stats"):
-    idx[name].write.mode("overwrite").parquet(f"/tmp/scaling_{cores}_{name}")
-idx = {
-    name: spark.read.parquet(f"/tmp/scaling_{cores}_{name}")
-    for name in ("postings", "doc_stats", "lexicon", "docid_map", "collection_stats")
-}
+build_steal_s = (_steal_pinned_cs() - bsteal0) / 100.0
+idx = load_index(spark, idx_dir)
 
 if os.environ.get("SCALING_BUILD_ONLY"):
-    burn_after = _burn(); steal1 = _steal_cs(); wall1 = time.time()
+    steal1 = _steal_cs(); wall1 = time.time()
+    # burn AFTER spark.stop(): an idle-but-alive JVM (GC threads, netty
+    # timers) perturbs the single-threaded probe on a pinned cpuset.
     spark.stop()
+    burn_after = _burn()
     print("RESULT " + json.dumps({
         "cores": cores,
         "n_docs": n,
         "index_build_sec": round(build_s, 2),
         "index_docs_per_sec": round(n / build_s, 1),
+        "build_steal_sec": round(build_steal_s, 1),
         "burn_before": burn_before,
         "burn_after": burn_after,
         "steal_sec": round((steal1 - steal0) / 100.0, 1),
@@ -155,13 +245,15 @@ wand_s = min(
     ).count())
     for _ in range(q_reps)
 )
-burn_after = _burn(); steal1 = _steal_cs(); wall1 = time.time()
+steal1 = _steal_cs(); wall1 = time.time()
 spark.stop()
+burn_after = _burn()
 print("RESULT " + json.dumps({
     "cores": cores,
     "n_docs": n,
     "index_build_sec": round(build_s, 2),
     "index_docs_per_sec": round(n / build_s, 1),
+    "build_steal_sec": round(build_steal_s, 1),
     "query_batch_sec": round(query_s, 2),
     "n_queries": n_q,
     "bm25_qps": round(n_q / query_s, 2),
@@ -217,6 +309,19 @@ def _effs(rn: dict, r4n: dict) -> dict:
     eff = {
         "index": round(r4n["index_docs_per_sec"] / (4 * rn["index_docs_per_sec"]), 3),
     }
+    if "build_steal_sec" in rn:
+        # steal-adjusted: charge each level only the core-seconds it
+        # actually received on its pinned cpuset during the build
+        # (cores*build_s - steal_pinned). Raw efficiency is structurally
+        # biased DOWN under host steal because the 4N level exposes 4x
+        # the CPUs; the adjusted number removes exactly the recorded
+        # steal, nothing else. Both are reported per round.
+        def rate(r):
+            eff_cores_s = r["cores"] * r["index_build_sec"] - min(
+                r["build_steal_sec"], 0.9 * r["cores"] * r["index_build_sec"]
+            )
+            return r["n_docs"] / (eff_cores_s / r["cores"])
+        eff["index_steal_adjusted"] = round(rate(r4n) / (4 * rate(rn)), 3)
     if "bm25_qps" in rn:
         eff["query_exact"] = round(r4n["bm25_qps"] / (4 * rn["bm25_qps"]), 3)
         eff["query_wand"] = round(r4n["wand_qps"] / (4 * rn["wand_qps"]), 3)

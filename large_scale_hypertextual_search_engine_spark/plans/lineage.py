@@ -110,6 +110,7 @@ def build_and_save_index(
     block_size: int = 128,
     n_buckets: int = 10,
     with_forward_index: bool = False,
+    strategy: str = "salted",
 ) -> dict[str, DataFrame]:
     """Materialized, checkpoint-resumable index build.
 
@@ -179,6 +180,7 @@ def build_and_save_index(
             n_docs,
             block_size=block_size,
             salt_buckets=salt_buckets,
+            strategy=strategy,
         ).withColumn("bucket_id", term_bucket_col(n_buckets)),
         partition_by=["bucket_id"],
         sort_by=["term"],
