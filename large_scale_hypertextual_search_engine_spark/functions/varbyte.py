@@ -59,6 +59,39 @@ def vb_encode(vals: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def vb_encode32(vals: np.ndarray) -> bytes:
+    """Varbyte-encode a 1-D array of non-negative ints < 2^31, working
+    entirely in 32-bit (byte-identical to :func:`vb_encode`).
+
+    Exists because the encode kernel is memory-bandwidth-bound at high
+    core counts (BENCH/probe_encode_concurrency.py: per-worker kernel
+    time inflates several-fold from 4 to 16 concurrent workers while a
+    streaming numpy burn barely degrades) — int32 temporaries halve the
+    bytes every pass moves. Values are < 2^31 by caller guarantee, so at
+    most 5 seven-bit groups, same as the int64 path.
+    """
+    v = np.asarray(vals)
+    v = v.view(np.uint32) if v.dtype == np.int32 else v.astype(np.uint32)
+    if v.size == 0:
+        return b""
+    nb = np.ones(v.size, dtype=np.uint8)
+    nb += v >= (1 << 7)
+    nb += v >= (1 << 14)
+    nb += v >= (1 << 21)
+    nb += v >= (1 << 28)
+    ends = np.cumsum(nb, dtype=np.int32) - 1
+    starts = ends - (nb - 1)
+    out = np.zeros(int(ends[-1]) + 1, dtype=np.uint8)
+    out[starts] = (v & 0x7F).astype(np.uint8)
+    for k in range(1, 5):
+        mask = nb > k
+        if not mask.any():
+            break
+        out[starts[mask] + k] = ((v[mask] >> np.uint32(7 * k)) & 0x7F).astype(np.uint8)
+    out[ends] |= 0x80
+    return out.tobytes()
+
+
 def vb_decode(buf: bytes | np.ndarray) -> np.ndarray:
     """Decode a varbyte stream to a uint64 array (vectorized)."""
     return vb_decode_offsets(buf)[0]
@@ -202,45 +235,90 @@ def encode_runs_batched(
     if n == 0:
         return [], [], np.zeros(0, np.int64), np.zeros(0, np.int64), \
             np.zeros(0, np.int64), np.zeros(0, np.int64)
-    doc = np.asarray(docids, dtype=np.int64)
-    tfs = np.asarray(tfs, dtype=np.int64)
-    flat = np.asarray(flat_pos, dtype=np.int64)
-    dl = np.asarray(doc_lens, dtype=np.int64)
+    doc = np.asarray(docids)
+    tfs = np.asarray(tfs)
+    flat = np.asarray(flat_pos)
+    dl = np.asarray(doc_lens)
     seg = np.asarray(seg, dtype=np.int64)
     seg_starts = seg[:-1]
     seg_lens = seg[1:] - seg_starts
 
-    pos_cum = np.concatenate(([0], np.cumsum(tfs)))
+    # 32-bit fast path: the kernel is memory-bandwidth-bound at high
+    # concurrency (probe_encode_concurrency.py), so when the caller
+    # hands int32 arrays (docids/positions < 2^31 — the spimi path) and
+    # byte offsets fit int32, every temporary runs at half the width.
+    # Outputs are byte-identical (asserted by tests/test_varbyte.py).
+    i32 = (
+        doc.dtype == np.int32
+        and tfs.dtype == np.int32
+        and flat.dtype == np.int32
+        and dl.dtype == np.int32
+        and (2 * n + flat.size) * 5 < 2**31
+    )
+    idt = np.int32 if i32 else np.int64
+    doc = doc.astype(idt, copy=False)
+    tfs = tfs.astype(idt, copy=False)
+    flat = flat.astype(idt, copy=False)
+    dl = dl.astype(idt, copy=False)
+
+    pos_cum = np.concatenate((np.zeros(1, idt), np.cumsum(tfs, dtype=idt)))
     row_pos_start = pos_cum[:-1]
     total_pos = int(pos_cum[-1])
 
     # docid deltas, reset to absolute at each run start
-    ds = np.diff(doc, prepend=0)
+    ds = np.diff(doc, prepend=idt(0))
     ds[seg_starts] = doc[seg_starts]
     # position deltas, reset to absolute at each row's first position
-    pdl = np.diff(flat, prepend=0)
+    pdl = np.diff(flat, prepend=idt(0))
     nz = tfs > 0
     pdl[row_pos_start[nz]] = flat[row_pos_start[nz]]
 
     # interleave [delta, tf, pos_deltas...] per row across the chunk
-    out = np.empty(2 * n + total_pos, dtype=np.int64)
-    doc_out = 2 * np.arange(n, dtype=np.int64) + row_pos_start
+    out = np.empty(2 * n + total_pos, dtype=idt)
+    doc_out = 2 * np.arange(n, dtype=idt) + row_pos_start
     out[doc_out] = ds
     out[doc_out + 1] = tfs
-    within = np.arange(total_pos, dtype=np.int64) - np.repeat(row_pos_start, tfs)
-    out[np.repeat(doc_out + 2, tfs) + within] = pdl
+    # position i of the flat stream lands at arange(i) + 2*(row+1): one
+    # repeat instead of the two the within-row formulation needs
+    out[
+        np.arange(total_pos, dtype=idt)
+        + np.repeat(2 * np.arange(1, n + 1, dtype=idt), tfs)
+    ] = pdl
 
-    buf = vb_encode(out)
-    v = out.astype(_U64)
-    nb = (
-        np.ones(v.size, dtype=np.int64)
-        + (v >= (1 << 7))
-        + (v >= (1 << 14))
-        + (v >= (1 << 21))
-        + (v >= (1 << 28))
+    if i32:
+        v = out.view(np.uint32)
+        nb = np.ones(v.size, dtype=np.uint8)
+        nb += v >= (1 << 7)
+        nb += v >= (1 << 14)
+        nb += v >= (1 << 21)
+        nb += v >= (1 << 28)
+        byte_ends = np.cumsum(nb, dtype=np.int32)
+        bb = np.zeros(int(byte_ends[-1]), dtype=np.uint8)
+        gstart = byte_ends - nb
+        bb[gstart] = (v & 0x7F).astype(np.uint8)
+        for k in range(1, 5):
+            mask = nb > k
+            if not mask.any():
+                break
+            bb[gstart[mask] + k] = (
+                (v[mask] >> np.uint32(7 * k)) & 0x7F
+            ).astype(np.uint8)
+        bb[byte_ends - 1] |= 0x80
+        buf = bb.tobytes()
+    else:
+        buf = vb_encode(out)
+        v = out.astype(_U64)
+        nb = (
+            np.ones(v.size, dtype=np.int64)
+            + (v >= (1 << 7))
+            + (v >= (1 << 14))
+            + (v >= (1 << 21))
+            + (v >= (1 << 28))
+        )
+        byte_ends = np.cumsum(nb)
+    row_byte_start = np.concatenate(
+        (np.zeros(1, byte_ends.dtype), byte_ends[doc_out[1:] - 1])
     )
-    byte_ends = np.cumsum(nb)
-    row_byte_start = np.concatenate(([0], byte_ends[doc_out[1:] - 1]))
     row_byte_end = byte_ends[doc_out + 1 + tfs]
     seg_byte_start = row_byte_start[seg_starts]
     seg_byte_end = row_byte_end[seg[1:] - 1]
@@ -273,9 +351,11 @@ def encode_runs_batched(
         blocks_mat[a:b].tobytes() for a, b in zip(nb_cum[:-1].tolist(), nb_cum[1:].tolist())
     ]
 
-    firsts = doc[seg_starts]
-    lasts = doc[seg[1:] - 1]
-    tf_sums = np.add.reduceat(tfs, seg_starts)
+    # per-run summaries are tiny (one row per run): hand callers int64
+    # regardless of the internal width
+    firsts = doc[seg_starts].astype(np.int64, copy=False)
+    lasts = doc[seg[1:] - 1].astype(np.int64, copy=False)
+    tf_sums = np.add.reduceat(tfs, seg_starts).astype(np.int64, copy=False)
     return bodies, blocks_bins, firsts, lasts, seg_lens, tf_sums
 
 
@@ -338,6 +418,132 @@ def merge_runs(
         acc += len(body) + grow
         prev_last = int(last_docids[i])
     return b"".join(parts), out_blocks
+
+
+def _vb_lens(vals: np.ndarray) -> np.ndarray:
+    """Byte length of each value's varbyte group (1..5), vectorized."""
+    v = np.asarray(vals, dtype=_U64)
+    nb = np.ones(v.size, dtype=np.int64)
+    nb += v >= (1 << 7)
+    nb += v >= (1 << 14)
+    nb += v >= (1 << 21)
+    nb += v >= (1 << 28)
+    return nb
+
+
+def merge_runs_segmented(
+    seg: np.ndarray,
+    firsts: np.ndarray,
+    lasts: np.ndarray,
+    bodies: list,
+    blocks_bins: list,
+    total_dfs: np.ndarray | None = None,
+):
+    """Merge MANY groups of docid-disjoint runs in one vectorized pass.
+
+    The per-term ``merge_runs`` loop costs ~10-20µs of Python/numpy call
+    overhead per run; at millions of runs per build that dominates the
+    phase-2 merge. This kernel does the same ordered byte-concat +
+    first-group rewrite for every group at once: one ``vb_encode`` for
+    all rewritten first-docid deltas, one numpy pass for all block-
+    metadata offset shifts, and per-run work reduced to a bytes-slice
+    append.
+
+    Args:
+      seg: int64[n_groups+1] boundaries into the run arrays; runs within
+        a group must be in ascending, disjoint docid order.
+      firsts/lasts: int64[n_runs] docid range per run.
+      bodies: list[bytes] run bodies (no doc-count head).
+      blocks_bins: list[bytes] packed int64[k,5] block rows per run.
+      total_dfs: when given (int64[n_groups]), emit final reference-
+        layout blobs (``vb(total_df)`` + merged body, offsets covering
+        the head) — the phase-2 output; when None, emit run-format
+        bodies (first docid absolute, offsets from body start) — the
+        phase-1 partition-level compaction.
+
+    Returns (group_bodies: list[bytes], bm: int64[total_blocks, 5]
+    adjusted block rows, blk_bounds: int64[n_groups+1] group boundaries
+    into bm).  Byte-identical to per-group :func:`merge_runs` /
+    single-run passthrough (asserted by tests).
+    """
+    seg = np.asarray(seg, dtype=np.int64)
+    n_groups = seg.size - 1
+    n = int(seg[-1])
+    firsts = np.asarray(firsts, dtype=np.int64)
+    lasts = np.asarray(lasts, dtype=np.int64)
+    seg_starts = seg[:-1]
+    run_group = np.repeat(np.arange(n_groups, dtype=np.int64), np.diff(seg))
+    is_first = np.zeros(n, dtype=bool)
+    is_first[seg_starts] = True
+    nf = ~is_first
+
+    body_lens = np.fromiter((len(b) for b in bodies), dtype=np.int64, count=n)
+    flens = np.fromiter((_first_vb_len(b) for b in bodies), dtype=np.int64, count=n)
+
+    # one encode for every rewritten first group (non-initial runs)
+    prev_last = np.empty(n, dtype=np.int64)
+    prev_last[1:] = lasts[:-1]
+    prev_last[seg_starts] = 0
+    deltas = (firsts - prev_last)[nf]
+    hb = vb_encode(deltas)
+    dnb = _vb_lens(deltas)
+    h_end = np.cumsum(dnb)
+    h_start = h_end - dnb
+
+    grow = np.zeros(n, dtype=np.int64)
+    grow[nf] = dnb - flens[nf]
+    contrib = body_lens + grow
+
+    if total_dfs is not None:
+        pf = vb_encode(np.asarray(total_dfs, dtype=np.int64))
+        pnb = _vb_lens(total_dfs)
+        p_end = np.cumsum(pnb)
+        p_start = p_end - pnb
+        prefix_len = pnb
+    else:
+        prefix_len = np.zeros(n_groups, dtype=np.int64)
+
+    # byte offset of each run's (rewritten) body inside its merged group
+    cs = np.cumsum(contrib)
+    excl = cs - contrib
+    acc = excl - excl[seg_starts][run_group] + prefix_len[run_group]
+
+    # block metadata: adjust every run's rows in one pass
+    bm = np.frombuffer(b"".join(blocks_bins), dtype=np.int64).reshape(-1, 5).copy()
+    blk_counts = np.fromiter(
+        (len(b) // 40 for b in blocks_bins), dtype=np.int64, count=n
+    )
+    blk_run = np.repeat(np.arange(n, dtype=np.int64), blk_counts)
+    zero_off = bm[:, 3] == 0  # each run's first block absorbs the rewrite
+    g = grow[blk_run]
+    bm[:, 4] += np.where(zero_off, g, 0)
+    bm[:, 3] += acc[blk_run] + np.where(zero_off, 0, g)
+    blk_cum = np.concatenate(([0], np.cumsum(blk_counts)))
+    blk_bounds = blk_cum[seg]
+
+    # assemble merged bodies (bytes-slice appends; C-speed joins)
+    hi = np.zeros(n, dtype=np.int64)
+    hi[nf] = np.arange(int(nf.sum()), dtype=np.int64)
+    group_bodies = []
+    hs_l, he_l = h_start.tolist(), h_end.tolist()
+    fl_l, hi_l = flens.tolist(), hi.tolist()
+    isf_l = is_first.tolist()
+    out_parts: list = []
+    bounds = seg.tolist()
+    for gi in range(n_groups):
+        parts = out_parts
+        parts.clear()
+        if total_dfs is not None:
+            parts.append(pf[p_start[gi]:p_end[gi]])
+        for i in range(bounds[gi], bounds[gi + 1]):
+            if isf_l[i]:
+                parts.append(bodies[i])
+            else:
+                k = hi_l[i]
+                parts.append(hb[hs_l[k]:he_l[k]])
+                parts.append(bodies[i][fl_l[i]:])
+        group_bodies.append(b"".join(parts))
+    return group_bodies, bm, blk_bounds
 
 
 def _record_starts_loop(vals: np.ndarray, n: int) -> np.ndarray:

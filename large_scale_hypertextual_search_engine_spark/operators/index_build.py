@@ -156,7 +156,7 @@ def _encode_arrow_batches(block_size: int):
     return _encode
 
 
-def _spimi_encode_partition(block_size: int, chunk_rows: int = 4_000_000):
+def _spimi_encode_partition(block_size: int, chunk_rows: int = 500_000):
     """True SPIMI phase 1: encode posting runs per INPUT PARTITION with
     no shuffle at all (north star: "SPIMI-style per-partition
     posting-list construction ... followed by a shuffle-by-term merge").
@@ -183,12 +183,12 @@ def _spimi_encode_partition(block_size: int, chunk_rows: int = 4_000_000):
     def _encode(batches):
         acc: list = []
         acc_rows = 0
-        chunk_idx = 0
+        chunks: list = []  # per-chunk encoded runs, compacted at the end
 
         def flush():
-            nonlocal acc, acc_rows, chunk_idx
+            nonlocal acc, acc_rows
             if not acc_rows:
-                return None
+                return
             term_arr = pa.concat_arrays([a[0] for a in acc])
             doc = np.concatenate([a[1] for a in acc])
             dl = np.concatenate([a[2] for a in acc])
@@ -196,67 +196,205 @@ def _spimi_encode_partition(block_size: int, chunk_rows: int = 4_000_000):
             flat = np.concatenate([a[4] for a in acc])
             acc.clear()
             acc_rows = 0
+            idt = doc.dtype  # int32 unless a doc_int overflowed 2^31
             d = pc.dictionary_encode(term_arr)
-            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            vocab = d.dictionary.to_pylist()
+            codes = d.indices.to_numpy(zero_copy_only=False)
             order = np.lexsort((doc, codes))
             codes_s = codes[order]
             doc_s = doc[order]
             dl_s = dl[order]
             tfs_s = tfs[order]
-            # gather each row's positions slice under the permutation
-            pos_start = np.concatenate(([0], np.cumsum(tfs)))[:-1]
-            within = np.arange(int(tfs_s.sum()), dtype=np.int64) - np.repeat(
-                np.concatenate(([0], np.cumsum(tfs_s)))[:-1], tfs_s
+            # gather each row's positions slice under the permutation:
+            # sorted position j maps to original index j + (row's original
+            # start - row's sorted start) — one repeat, 32-bit throughout
+            # (the kernel is bandwidth-bound; see encode_runs_batched)
+            pos_start = np.concatenate(
+                (np.zeros(1, idt), np.cumsum(tfs, dtype=idt)[:-1])
             )
-            flat_s = flat[np.repeat(pos_start[order], tfs_s) + within]
+            spc = np.cumsum(tfs_s, dtype=idt)
+            sorted_start = np.concatenate((np.zeros(1, idt), spc[:-1]))
+            total = int(spc[-1]) if spc.size else 0
+            flat_s = flat[
+                np.arange(total, dtype=idt)
+                + np.repeat(pos_start[order] - sorted_start, tfs_s)
+            ]
             seg = np.concatenate(
                 ([0], np.flatnonzero(np.diff(codes_s)) + 1, [codes_s.size])
             )
             bodies, blocks_bins, firsts, lasts, dfs, tf_sums = (
                 encode_runs_batched(doc_s, tfs_s, flat_s, dl_s, seg, block_size)
             )
-            terms = [vocab[int(c)] for c in codes_s[seg[:-1]]]
-            ci = chunk_idx
-            chunk_idx += 1
-            return pa.RecordBatch.from_arrays(
-                [
-                    pa.array(terms, pa.string()),
-                    pa.array([ci] * len(terms), pa.int32()),
-                    pa.array(dfs, pa.int64()),
-                    pa.array(tf_sums, pa.int64()),
-                    pa.array(firsts, pa.int64()),
-                    pa.array(lasts, pa.int64()),
-                    pa.array(bodies, pa.binary()),
-                    pa.array(blocks_bins, pa.binary()),
-                ],
-                names=[
-                    "term", "salt", "df", "tf",
-                    "first_docid", "last_docid", "body", "blocks_bin",
-                ],
+            # run-level term column stays Arrow (no Python strings):
+            # dictionary.take on the group-start codes
+            run_terms = d.dictionary.take(
+                pa.array(codes_s[seg[:-1]].astype(np.int64))
+            )
+            chunks.append(
+                (run_terms, firsts, lasts, dfs, tf_sums, bodies, blocks_bins)
             )
 
         for batch in batches:
             posl = batch.column("positions")
+            # stay in 32-bit: positions/list-lengths are int32 straight
+            # from Arrow (zero-copy), doc ids/lengths downcast when they
+            # fit (always, below 2^31 docs — else the int64 fallback
+            # keeps correctness and encode_runs_batched dispatches i64)
+            d64 = batch.column("doc_int").to_numpy(zero_copy_only=False)
+            if d64.dtype != np.int32 and (
+                d64.size == 0 or int(d64.max()) < 2**31
+            ):
+                d64 = d64.astype(np.int32)
+            l64 = batch.column("doc_len").to_numpy(zero_copy_only=False)
+            if l64.dtype != np.int32 and (
+                l64.size == 0 or int(l64.max()) < 2**31
+            ):
+                l64 = l64.astype(np.int32)
             acc.append(
                 (
                     batch.column("term"),
-                    batch.column("doc_int").to_numpy(zero_copy_only=False).astype(np.int64),
-                    batch.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int64),
-                    pc.list_value_length(posl).to_numpy().astype(np.int64),
-                    posl.flatten().to_numpy(zero_copy_only=False).astype(np.int64),
+                    d64,
+                    l64,
+                    pc.list_value_length(posl).to_numpy().astype(np.int32, copy=False),
+                    posl.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False),
                 )
             )
             acc_rows += batch.num_rows
             if acc_rows >= chunk_rows:
-                rb = flush()
-                if rb is not None:
-                    yield rb
-        rb = flush()
-        if rb is not None:
-            yield rb
+                flush()
+        flush()
+        yield from _compact_partition_runs(chunks)
 
     return _encode
+
+
+def _compact_partition_runs(chunks: list, max_batch_bytes: int = 1 << 27):
+    """Partition-end compaction: merge each term's per-chunk runs into
+    ONE run per (term, partition) before the phase-2 shuffle.
+
+    Chunks are encoded in partition order and the input is docid-range
+    partitioned, so a term's runs across chunks are already ascending
+    and docid-disjoint — the merge is the ordered byte-concat of
+    :func:`merge_runs_segmented` (run mode), one vectorized pass for
+    every term at once. This caps phase-2 input at (terms x partitions)
+    runs instead of (terms x chunks), which is what the per-term merge
+    cost scales with. If the ascending-disjoint invariant does NOT hold
+    (caller didn't range-partition), runs are emitted unmerged with
+    their chunk index as ``salt`` and the phase-2 decode-merge fallback
+    keeps correctness.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.varbyte import merge_runs_segmented
+
+    if not chunks:
+        return
+    if len(chunks) == 1:
+        yield from _emit_run_batches(chunks[0], max_batch_bytes)
+        return
+    term_all = pa.concat_arrays([c[0] for c in chunks])
+    firsts = np.concatenate([c[1] for c in chunks])
+    lasts = np.concatenate([c[2] for c in chunks])
+    dfs = np.concatenate([c[3] for c in chunks])
+    tfs = np.concatenate([c[4] for c in chunks])
+    bodies = [b for c in chunks for b in c[5]]
+    blocks = [b for c in chunks for b in c[6]]
+    salts = np.repeat(
+        np.arange(len(chunks), dtype=np.int32),
+        [len(c[5]) for c in chunks],
+    )
+    chunks.clear()
+
+    d = pc.dictionary_encode(term_all)
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # stable sort by code keeps chunk (= ascending docid) order per term
+    order = np.argsort(codes, kind="stable")
+    codes_s = codes[order]
+    firsts_s = firsts[order]
+    lasts_s = lasts[order]
+    n = codes_s.size
+    seg = np.concatenate(([0], np.flatnonzero(np.diff(codes_s)) + 1, [n]))
+    not_start = np.ones(n, dtype=bool)
+    not_start[seg[:-1]] = False
+    prev_last = np.empty(n, dtype=np.int64)
+    prev_last[1:] = lasts_s[:-1]
+    prev_last[0] = -1
+    if bool((not_start & (firsts_s <= prev_last)).any()):
+        # invariant broken: emit unmerged, phase 2 decode-merges
+        yield from _emit_run_batches(
+            (term_all, firsts, lasts, dfs, tfs, bodies, blocks),
+            max_batch_bytes,
+            salts=salts,
+        )
+        return
+
+    dfs_s = dfs[order]
+    tfs_s = tfs[order]
+    bodies_s = [bodies[i] for i in order]
+    blocks_s = [blocks[i] for i in order]
+    merged_bodies, bm, blk_bounds = merge_runs_segmented(
+        seg, firsts_s, lasts_s, bodies_s, blocks_s, total_dfs=None
+    )
+    g_first = firsts_s[seg[:-1]]
+    g_last = lasts_s[seg[1:] - 1]
+    g_df = np.add.reduceat(dfs_s, seg[:-1])
+    g_tf = np.add.reduceat(tfs_s, seg[:-1])
+    g_terms = d.dictionary.take(pa.array(codes_s[seg[:-1]]))
+    g_blocks = [
+        bm[a:b].tobytes()
+        for a, b in zip(blk_bounds[:-1].tolist(), blk_bounds[1:].tolist())
+    ]
+    yield from _emit_run_batches(
+        (g_terms, g_first, g_last, g_df, g_tf, merged_bodies, g_blocks),
+        max_batch_bytes,
+    )
+
+
+def _emit_run_batches(chunk, max_batch_bytes: int, salts=None):
+    """Yield RUNS_DDL RecordBatches from one run-array tuple, split so
+    no batch's bodies exceed ``max_batch_bytes`` (int32 Arrow binary
+    offsets; also bounds the shuffle writer's working set)."""
+    import pyarrow as pa
+
+    terms, firsts, lasts, dfs, tfs, bodies, blocks = chunk
+    n = len(bodies)
+    if n == 0:
+        return
+    body_lens = np.fromiter((len(b) for b in bodies), dtype=np.int64, count=n)
+    cuts = [0]
+    running = 0
+    for i, bl in enumerate(body_lens.tolist()):
+        if running >= max_batch_bytes:
+            cuts.append(i)
+            running = 0
+        running += bl
+    cuts.append(n)
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        if a == b:
+            continue
+        salt_col = (
+            pa.array(np.zeros(b - a, dtype=np.int32))
+            if salts is None
+            else pa.array(salts[a:b])
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                terms.slice(a, b - a)
+                if isinstance(terms, pa.Array)
+                else pa.array(terms[a:b], pa.string()),
+                salt_col,
+                pa.array(np.asarray(dfs[a:b], dtype=np.int64)),
+                pa.array(np.asarray(tfs[a:b], dtype=np.int64)),
+                pa.array(np.asarray(firsts[a:b], dtype=np.int64)),
+                pa.array(np.asarray(lasts[a:b], dtype=np.int64)),
+                pa.array(bodies[a:b], pa.binary()),
+                pa.array(blocks[a:b], pa.binary()),
+            ],
+            names=[
+                "term", "salt", "df", "tf",
+                "first_docid", "last_docid", "body", "blocks_bin",
+            ],
+        )
 
 
 def _unpack_blocks(blocks_bin: bytes, head: int = 0):
@@ -363,6 +501,234 @@ def _merge_batches(batches) -> "pd.DataFrame":
         )
 
 
+def _merge_stream(batches):
+    """Phase-2 merge, streaming-Arrow form: input is the raw run rows of
+    one hash(term) shuffle partition (NO ``collect_list`` — the JVM
+    aggregation and the per-term Python dict walk of
+    :func:`_merge_batches` are both gone). One dictionary-encode +
+    stable sort groups the partition's runs by term, one
+    :func:`merge_runs_segmented` call merges every disjoint-run term at
+    once, and only overlapping-run terms (callers that didn't
+    range-partition by docid) fall back to the per-term decode-merge.
+
+    Memory: the partition's compressed runs (~2-4 bytes/posting) — the
+    same bound the old ``collect_list`` path had, minus the JVM array
+    materialization. Output batches are split at ~128 MB of blob bytes
+    to stay inside int32 Arrow binary offsets.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.varbyte import merge_runs_segmented
+
+    term_chunks: list = []
+    f_l: list = []
+    l_l: list = []
+    df_l: list = []
+    tf_l: list = []
+    bodies: list = []
+    blocks: list = []
+    for b in batches:
+        term_chunks.append(b.column("term"))
+        f_l.append(b.column("first_docid").to_numpy(zero_copy_only=False))
+        l_l.append(b.column("last_docid").to_numpy(zero_copy_only=False))
+        df_l.append(b.column("df").to_numpy(zero_copy_only=False))
+        tf_l.append(b.column("tf").to_numpy(zero_copy_only=False))
+        bodies.extend(b.column("body").to_pylist())
+        blocks.extend(b.column("blocks_bin").to_pylist())
+    n = len(bodies)
+    if n == 0:
+        return
+    term_all = pa.concat_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+         for c in term_chunks]
+    )
+    firsts = np.concatenate(f_l).astype(np.int64, copy=False)
+    lasts = np.concatenate(l_l).astype(np.int64, copy=False)
+    dfs = np.concatenate(df_l).astype(np.int64, copy=False)
+    tfs = np.concatenate(tf_l).astype(np.int64, copy=False)
+
+    d = pc.dictionary_encode(term_all)
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((lasts, firsts, codes))
+    codes_s = codes[order]
+    firsts_s = firsts[order]
+    lasts_s = lasts[order]
+    dfs_s = dfs[order]
+    tfs_s = tfs[order]
+    bodies_s = [bodies[i] for i in order]
+    blocks_s = [blocks[i] for i in order]
+    seg = np.concatenate(([0], np.flatnonzero(np.diff(codes_s)) + 1, [n]))
+    run_group = np.repeat(
+        np.arange(seg.size - 1, dtype=np.int64), np.diff(seg)
+    )
+
+    # overlap detection (per run position, vectorized)
+    prev_last = np.empty(n, dtype=np.int64)
+    prev_last[1:] = lasts_s[:-1]
+    prev_last[0] = -1
+    bad_pos = firsts_s <= prev_last
+    bad_pos[seg[:-1]] = False
+    bad_groups = np.unique(run_group[bad_pos]) if bad_pos.any() else None
+
+    if bad_groups is not None and bad_groups.size:
+        good_mask_g = np.ones(seg.size - 1, dtype=bool)
+        good_mask_g[bad_groups] = False
+        keep = good_mask_g[run_group]
+        # re-index the good subset
+        g_sizes = np.diff(seg)[good_mask_g]
+        seg_good = np.concatenate(([0], np.cumsum(g_sizes)))
+        idx = np.flatnonzero(keep)
+        firsts_g, lasts_g = firsts_s[idx], lasts_s[idx]
+        dfs_g, tfs_g = dfs_s[idx], tfs_s[idx]
+        bodies_g = [bodies_s[i] for i in idx.tolist()]
+        blocks_g = [blocks_s[i] for i in idx.tolist()]
+        good_codes = codes_s[seg[:-1]][good_mask_g]
+    else:
+        seg_good = seg
+        firsts_g, lasts_g, dfs_g, tfs_g = firsts_s, lasts_s, dfs_s, tfs_s
+        bodies_g, blocks_g = bodies_s, blocks_s
+        good_codes = codes_s[seg[:-1]]
+
+    if seg_good[-1] > 0:
+        g_df = np.add.reduceat(dfs_g, seg_good[:-1])
+        merged, bm, bounds = merge_runs_segmented(
+            seg_good, firsts_g, lasts_g, bodies_g, blocks_g, total_dfs=g_df
+        )
+        g_tf = np.add.reduceat(tfs_g, seg_good[:-1])
+        g_terms = d.dictionary.take(pa.array(good_codes))
+        yield from _emit_postings_batches(
+            g_terms, g_df, g_tf, merged, bm, bounds
+        )
+
+    if bad_groups is not None and bad_groups.size:
+        # rare path: decode-merge each overlapping-run term
+        terms_b, dfs_b, tfs_b, blobs_b, blocks_out = [], [], [], [], []
+        vocab = d.dictionary
+        for g in bad_groups.tolist():
+            a, b = int(seg[g]), int(seg[g + 1])
+            runs = [
+                {
+                    "df": int(dfs_s[i]),
+                    "tf": int(tfs_s[i]),
+                    "body": bodies_s[i],
+                    "blocks_bin": blocks_s[i],
+                }
+                for i in range(a, b)
+            ]
+            blob, blks = _merge_overlapping(runs)
+            terms_b.append(vocab[int(codes_s[a])].as_py())
+            dfs_b.append(int(sum(r["df"] for r in runs)))
+            tfs_b.append(int(sum(r["tf"] for r in runs)))
+            blobs_b.append(blob)
+            blocks_out.append(blks)
+        yield _postings_batch_from_lists(
+            terms_b, dfs_b, tfs_b, blobs_b, blocks_out
+        )
+
+
+_BLOCK_ARROW = None
+
+
+def _block_list_type():
+    global _BLOCK_ARROW
+    if _BLOCK_ARROW is None:
+        import pyarrow as pa
+
+        _BLOCK_ARROW = pa.list_(
+            pa.struct(
+                [
+                    ("last_docid", pa.int64()),
+                    ("max_tf", pa.int32()),
+                    ("min_dl", pa.int32()),
+                    ("offset", pa.int32()),
+                    ("bytes", pa.int32()),
+                ]
+            )
+        )
+    return _BLOCK_ARROW
+
+
+def _emit_postings_batches(
+    g_terms, g_df, g_tf, merged: list, bm, bounds,
+    max_batch_bytes: int = 1 << 27,
+):
+    """POSTINGS_SCHEMA RecordBatches from merged-group arrays, split at
+    ~``max_batch_bytes`` of blob bytes (int32 binary offsets)."""
+    import pyarrow as pa
+
+    n_g = len(merged)
+    cuts = [0]
+    running = 0
+    for i, blob in enumerate(merged):
+        if running >= max_batch_bytes:
+            cuts.append(i)
+            running = 0
+        running += len(blob)
+    cuts.append(n_g)
+    lt = _block_list_type()
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        if a == b:
+            continue
+        rows = bm[bounds[a]:bounds[b]]
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(rows[:, 0]),
+                pa.array(rows[:, 1].astype(np.int32)),
+                pa.array(rows[:, 2].astype(np.int32)),
+                pa.array(rows[:, 3].astype(np.int32)),
+                pa.array(rows[:, 4].astype(np.int32)),
+            ],
+            fields=list(lt.value_type),
+        )
+        offsets = pa.array(
+            (bounds[a:b + 1] - bounds[a]).astype(np.int32)
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                g_terms.slice(a, b - a),
+                pa.array(np.asarray(g_df[a:b], dtype=np.int64)),
+                pa.array(np.asarray(g_tf[a:b], dtype=np.int64)),
+                pa.array(merged[a:b], pa.binary()),
+                pa.ListArray.from_arrays(offsets, struct),
+            ],
+            names=["term", "df", "tf", "postings", "blocks"],
+        )
+
+
+def _postings_batch_from_lists(terms, dfs, tfs, blobs, blocks_tuples):
+    """POSTINGS_SCHEMA RecordBatch from per-term Python lists (the
+    overlapping-run fallback, where blocks are lists of 5-tuples)."""
+    import pyarrow as pa
+
+    lt = _block_list_type()
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(terms, pa.string()),
+            pa.array(dfs, pa.int64()),
+            pa.array(tfs, pa.int64()),
+            pa.array(blobs, pa.binary()),
+            pa.array(
+                [
+                    [
+                        {
+                            "last_docid": int(t[0]),
+                            "max_tf": int(t[1]),
+                            "min_dl": int(t[2]),
+                            "offset": int(t[3]),
+                            "bytes": int(t[4]),
+                        }
+                        for t in blks
+                    ]
+                    for blks in blocks_tuples
+                ],
+                lt,
+            ),
+        ],
+        names=["term", "df", "tf", "postings", "blocks"],
+    )
+
+
 def build_postings(
     tokens: DataFrame,
     n_docs: int,
@@ -372,7 +738,7 @@ def build_postings(
     docs_per_salt: int = 250_000,
     partitions: int | None = None,
     strategy: str = "salted",
-    chunk_rows: int = 4_000_000,
+    chunk_rows: int = 500_000,
 ) -> DataFrame:
     """(doc_int, term, positions) -> postings(term, df, tf, postings, blocks).
 
@@ -444,17 +810,11 @@ def build_postings(
             .agg(F.sort_array(F.collect_list("p")).alias("pl"))
         )
         runs = grouped.mapInArrow(_encode_arrow_batches(block_size), RUNS_DDL)
-    return (
-        runs.repartition(partitions, "term")
-        .groupBy("term")
-        .agg(
-            F.collect_list(
-                F.struct(
-                    "first_docid", "last_docid", "df", "tf", "body", "blocks_bin"
-                )
-            ).alias("runs")
-        )
-        .mapInPandas(_merge_batches, POSTINGS_SCHEMA)
+    # phase-2 merge: hash-exchange the compressed runs by term, then one
+    # streaming-Arrow segmented merge per partition (no collect_list, no
+    # per-term Python loop — _merge_stream)
+    return runs.repartition(partitions, "term").mapInArrow(
+        _merge_stream, POSTINGS_SCHEMA
     )
 
 

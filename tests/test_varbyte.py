@@ -155,3 +155,117 @@ def test_vb_encode_rejects_oversized_values():
     with _pytest.raises(ValueError):
         vb_encode(np.array([1 << 35]))
     assert vb_encode(np.array([(1 << 35) - 1]))  # boundary ok
+
+
+def test_encode_runs_batched_i32_path_byte_identical():
+    """The int32 fast path (bandwidth-halving, used by the spimi encode)
+    must produce byte-identical bodies/blocks to the int64 path for any
+    fuzzed chunk, and to per-segment encode_run."""
+    from large_scale_hypertextual_search_engine_spark.functions.varbyte import (
+        encode_runs_batched,
+        vb_encode32,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n_runs = int(rng.integers(1, 40))
+        doc_parts, tf_parts, pos_parts, dl_parts, seg = [], [], [], [], [0]
+        for _ in range(n_runs):
+            k = int(rng.integers(1, 300))
+            docs = np.sort(
+                rng.choice(2**31 - 1 if trial % 4 == 0 else 10_000, k, replace=False)
+            ).astype(np.int64)
+            tfs = rng.integers(1, 6, size=k).astype(np.int64)
+            pos = np.concatenate(
+                [np.sort(rng.integers(0, 2**20, size=t)) for t in tfs]
+            ).astype(np.int64)
+            doc_parts.append(docs)
+            tf_parts.append(tfs)
+            pos_parts.append(pos)
+            dl_parts.append(rng.integers(1, 10_000, size=k).astype(np.int64))
+            seg.append(seg[-1] + k)
+        doc = np.concatenate(doc_parts)
+        tfs = np.concatenate(tf_parts)
+        pos = np.concatenate(pos_parts)
+        dls = np.concatenate(dl_parts)
+        seg = np.array(seg, dtype=np.int64)
+        r64 = encode_runs_batched(doc, tfs, pos, dls, seg, 32)
+        r32 = encode_runs_batched(
+            doc.astype(np.int32), tfs.astype(np.int32),
+            pos.astype(np.int32), dls.astype(np.int32), seg, 32,
+        )
+        assert r64[0] == r32[0]  # bodies
+        assert r64[1] == r32[1]  # packed block metadata
+        for a, b in zip(r64[2:], r32[2:]):
+            assert (np.asarray(a) == np.asarray(b)).all()
+            assert np.asarray(b).dtype == np.int64
+
+    vals = rng.integers(0, 2**31, size=5000)
+    assert vb_encode32(vals.astype(np.int32)) == vb_encode(vals)
+    assert vb_encode32(np.zeros(0, np.int32)) == b""
+
+
+def test_merge_runs_segmented_matches_merge_runs():
+    """Vectorized many-group merge == per-group merge_runs (final mode)
+    and == identity for single-run groups (run mode)."""
+    from large_scale_hypertextual_search_engine_spark.functions.varbyte import (
+        encode_run,
+        merge_runs_segmented,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(15):
+        n_groups = int(rng.integers(1, 30))
+        firsts, lasts, dfs, bodies, blockss, seg = [], [], [], [], [], [0]
+        group_runs = []
+        for _g in range(n_groups):
+            n_runs = int(rng.integers(1, 6))
+            lo = 1
+            runs = []
+            for _r in range(n_runs):
+                k = int(rng.integers(1, 200))
+                docs = lo + np.cumsum(rng.integers(1, 50, size=k))
+                tfs = rng.integers(1, 5, size=k)
+                pos = np.concatenate(
+                    [np.sort(rng.integers(0, 5000, size=t)) for t in tfs]
+                )
+                dls = rng.integers(1, 500, size=k)
+                body, blocks = encode_run(docs, tfs, pos, 16, doc_lens=dls)
+                runs.append((int(docs[0]), int(docs[-1]), k, body, blocks))
+                lo = int(docs[-1]) + 1
+            group_runs.append(runs)
+            for f, l, k, body, blocks in runs:
+                firsts.append(f)
+                lasts.append(l)
+                dfs.append(k)
+                bodies.append(body)
+                blockss.append(
+                    np.array(
+                        [list(b) for b in blocks], dtype=np.int64
+                    ).reshape(-1, 5).tobytes()
+                )
+            seg.append(seg[-1] + n_runs)
+        seg = np.array(seg, dtype=np.int64)
+        total_dfs = np.add.reduceat(np.array(dfs, np.int64), seg[:-1])
+        got_bodies, bm, bounds = merge_runs_segmented(
+            seg, np.array(firsts, np.int64), np.array(lasts, np.int64),
+            bodies, blockss, total_dfs=total_dfs,
+        )
+        for gi, runs in enumerate(group_runs):
+            want_blob, want_blocks = merge_runs(
+                [r[0] for r in runs], [r[3] for r in runs],
+                [r[4] for r in runs], [r[1] for r in runs],
+                int(total_dfs[gi]),
+            )
+            assert got_bodies[gi] == want_blob
+            got_blocks = [tuple(r) for r in bm[bounds[gi]:bounds[gi + 1]]]
+            assert got_blocks == [tuple(b) for b in want_blocks]
+
+        # run mode: single-run groups must pass through untouched
+        one_seg = np.arange(len(bodies) + 1, dtype=np.int64)
+        rb, rbm, rbounds = merge_runs_segmented(
+            one_seg, np.array(firsts, np.int64), np.array(lasts, np.int64),
+            bodies, blockss,
+        )
+        assert rb == bodies
+        assert rbm.tobytes() == b"".join(blockss)
