@@ -44,7 +44,7 @@ def _oracle_path(kind: str, sf_dir: str | None = None) -> str:
 
 
 _ORACLE_PATHS: dict[str, str] = {}
-for _kind in ("minhash_sigs", "simhash", "ivf", "ivf_centroids"):
+for _kind in ("minhash_sigs", "simhash", "ivf", "ivf_centroids", "dup_pairs"):
     _oracle_path(_kind, "/root/testdata/sf0.01")
 
 K1, B = 1.5, 0.75
@@ -510,6 +510,34 @@ def q_dedup_simhash_stored(spark, sf_dir):
     return simhash_pairs_from_hashes(sh, "doc_id", max_hamming=3)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: minhash banded pairs -> distributed
+    connected components (hash-min label propagation, one min-combined
+    shuffle per round) -> (doc_id, cluster_id, is_canonical). The pair
+    table is PERSISTED per-SF so the oracle — a DuckDB recursive-CTE
+    min-label fixpoint — reads exactly the edge list the Spark
+    clustering consumed; the iterative Spark half is therefore fully
+    relational-checked, and the signature kernel upstream is the same
+    pytest-verified one as dedup_minhash_banded."""
+    from large_scale_hypertextual_search_engine_spark.operators.dedup import (
+        minhash_pairs_from_signatures, minhash_signatures,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    pairs_path = _oracle_path("dup_pairs", sf_dir)
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    minhash_pairs_from_signatures(sigs, "doc_id", threshold=0.5).select(
+        "id_a", "id_b"
+    ).write.mode("overwrite").parquet(pairs_path)
+    pairs = spark.read.parquet(pairs_path)
+    return dedup_clusters(pairs)
+
+
 def q_text_fingerprint(spark, sf_dir):
     from large_scale_hypertextual_search_engine_spark.operators.textstats import (
         fingerprint_udf,
@@ -699,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_banded": q_dedup_minhash_banded,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_stored": q_dedup_simhash_stored,
+        "dedup_clusters": q_dedup_clusters,
         "text_fingerprint": q_text_fingerprint,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1021,6 +1050,26 @@ p AS (
 )
 SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
 FROM p WHERE est_jaccard >= 0.5""",
+        # oracle over the persisted near-dup PAIR table: a recursive-CTE
+        # min-label fixpoint reproduces the Spark hash-min connected
+        # components exactly (labels propagate along symmetric edges to
+        # the min reachable id).
+        "dedup_clusters": f"""
+WITH RECURSIVE e AS (
+  SELECT id_a AS s, id_b AS d
+  FROM read_parquet('{_oracle_path("dup_pairs")}/*.parquet')
+  UNION
+  SELECT id_b, id_a
+  FROM read_parquet('{_oracle_path("dup_pairs")}/*.parquet')
+),
+r(node, label) AS (
+  SELECT s, s FROM e
+  UNION
+  SELECT e.s, r.label FROM e JOIN r ON r.node = e.d
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id,
+       node = MIN(label) AS is_canonical
+FROM r GROUP BY node""",
         # oracle over the persisted simhash table (same split: kernel is
         # pytest-verified, bucketing + Hamming verify checked here).
         # (h >> 16t) & 65535 extracts each 16-bit slice — the mask makes
