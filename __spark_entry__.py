@@ -164,6 +164,25 @@ def q_ft_phrase(spark, sf_dir):
     )
 
 
+def q_ft_proximity(spark, sf_dir):
+    """NEAR/4 proximity query (fast, key): docs where the two tokens
+    fall within 4 positions (unordered), AND-mode BM25 scoring plus the
+    minimum qualifying distance. Complements ft_phrase: same positional
+    decode, distance filter instead of adjacency."""
+    from large_scale_hypertextual_search_engine_spark.operators.phrase import (
+        proximity_search,
+    )
+
+    res = proximity_search(
+        _index(spark, sf_dir), "fast", "key", slop=4, top_k=10, tf_mode="true"
+    )
+    return res.select(
+        "docid", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+        F.col("min_dist").cast("long").alias("min_dist"),
+    )
+
+
 def q_autocomplete_batch(spark, sf_dir):
     """suggest_many: per-length hash equi-joins, one job for N prefixes."""
     from large_scale_hypertextual_search_engine_spark.operators.autocomplete import (
@@ -707,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_or": q_ft_bm25_or,
         "ft_bm25_wand": q_ft_bm25_wand,
         "ft_phrase": q_ft_phrase,
+        "ft_proximity": q_ft_proximity,
         "ft_autocomplete": q_ft_autocomplete,
         "autocomplete_batch": q_autocomplete_batch,
         "dedup_exact": q_dedup_exact,
@@ -841,6 +861,56 @@ ORDER BY score DESC, docid ASC
 LIMIT 10"""
 
 
+def _proximity_true_sql(a: str, b: str, slop: int) -> str:
+    """Oracle for proximity_search (unordered NEAR/slop): positions via
+    the same renumbered ordinality as the phrase oracle, min pairwise
+    |pos_b - pos_a| per doc (base shift invariant: SQL positions are
+    1-based, Spark's 0-based), scoring identical to _bm25_true_sql
+    restricted to qualifying docs."""
+    return f"""
+WITH {_TOKS},{_DL_STATS},
+tokp AS (
+  SELECT docid, term,
+         row_number() OVER (PARTITION BY docid ORDER BY ord) AS pos
+  FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS docid,
+           unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS ord
+    FROM documents
+  ) WHERE term <> ''
+),
+pd AS (
+  SELECT ta.docid, MIN(abs(tb.pos - ta.pos)) AS min_dist
+  FROM tokp ta
+  JOIN tokp tb ON tb.docid = ta.docid
+  WHERE ta.term = '{a}' AND tb.term = '{b}'
+  GROUP BY ta.docid
+  HAVING MIN(abs(tb.pos - ta.pos)) <= {slop}
+),
+tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ('{a}', '{b}') GROUP BY docid, term),
+dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
+scored AS (
+  SELECT t.docid, p.min_dist,
+         SUM( ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+            * (((1.5 + 1.0) * t.tf) /
+               (1.5 * (1.0 - 0.75 + 0.75 * (l.doc_len / s.avg_dl)) + t.tf)) ) AS score
+  FROM tfs t
+  JOIN pd p ON p.docid = t.docid
+  JOIN dfs f ON f.term = t.term
+  JOIN dl l ON l.docid = t.docid
+  CROSS JOIN stats s
+  GROUP BY t.docid, p.min_dist
+)
+SELECT docid,
+       CAST(row_number() OVER (ORDER BY score DESC, docid ASC) AS INTEGER) AS rank,
+       round(score, 6) AS score,
+       CAST(min_dist AS BIGINT) AS min_dist
+FROM scored
+ORDER BY score DESC, docid ASC
+LIMIT 10"""
+
+
 def _bm25_compat_sql(terms: list[str]) -> str:
     inlist = ", ".join(f"'{t}'" for t in terms)
     return f"""
@@ -934,6 +1004,7 @@ FROM (SELECT CAST(doc_id AS VARCHAR) AS docid FROM documents)""",
         # WAND is exact top-k: the oracle is the same SQL as ft_bm25_or
         "ft_bm25_wand": _bm25_true_sql(["merge", "window"], "or"),
         "ft_phrase": _phrase_true_sql(["fast", "key"]),
+        "ft_proximity": _proximity_true_sql("fast", "key", 4),
         "autocomplete_batch": f"""
 WITH {_TOKS},
 lex AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),

@@ -276,6 +276,105 @@ def phrase_search_batch(
     )
 
 
+def proximity_search(
+    index: dict[str, DataFrame],
+    term_a: str,
+    term_b: str,
+    slop: int,
+    ordered: bool = False,
+    top_k: int = 10,
+    tf_mode: str = "true",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """NEAR/slop proximity query -> (rank, doc_int, docid, score,
+    min_dist).
+
+    A document matches when some occurrence of ``term_a`` and some
+    occurrence of ``term_b`` lie within ``slop`` token positions:
+    unordered (default) uses ``|p_b - p_a| <= slop``; ``ordered=True``
+    requires ``1 <= p_b - p_a <= slop`` (a AFTER-NEAR b). Matching docs
+    are scored with the same distinct-term BM25 sum / deterministic FP
+    fold / (score desc, doc_int asc) tiebreak as ``query.search`` AND
+    mode — a proximity query IS an AND query plus a distance filter —
+    and carry ``min_dist``, the smallest qualifying distance.
+
+    Plan shape is the phrase plan: bucket-pruned scan, ONE decode pass,
+    ONE doc-shuffle, pure-JVM distance work. The pairwise distance is a
+    nested ``transform`` — O(tf_a * tf_b) per doc in whole-stage
+    codegen, which for realistic per-doc tfs (tens) beats shipping the
+    arrays to Python; for stopword-scale tfs pre-filter candidates (or
+    index with stopword removal) as with any positional operator.
+    """
+    if term_a == term_b:
+        raise ValueError("proximity terms must differ")
+    if slop < 1:
+        raise ValueError("slop must be >= 1")
+    n_docs, avg_dl = _stats(index)
+    uniq = [term_a, term_b]
+
+    decoded = decode_postings_positions_df(prune_buckets(index, uniq), uniq)
+    doc_stats = index["doc_stats"].select("doc_int", "doc_len")
+    tf_eff = F.lit(1.0) if tf_mode == "compat" else F.col("tf").cast("double")
+    cand = (
+        decoded.join(doc_stats, "doc_int", "left")
+        .withColumn(
+            "dl",
+            F.coalesce(F.col("doc_len"), F.floor(F.lit(avg_dl))).cast("double"),
+        )
+        .withColumn(
+            "term_score",
+            bm25_score(
+                tf_eff, F.col("df"), F.col("dl"),
+                F.lit(float(n_docs)), F.lit(avg_dl), k1, b,
+            ),
+        )
+    )
+    grouped = cand.groupBy("doc_int").agg(
+        F.count("*").alias("n_terms"),
+        F.max(F.when(F.col("term") == term_a, F.col("positions"))).alias("pa"),
+        F.max(F.when(F.col("term") == term_b, F.col("positions"))).alias("pb"),
+        F.collect_set(F.struct("term", "term_score")).alias("tscores"),
+    )
+    diffs = F.flatten(
+        F.transform(
+            "pa",
+            lambda p: F.transform(F.col("pb"), lambda q: q - p),
+        )
+    )
+    dists = (
+        F.filter(diffs, lambda d: d > 0)
+        if ordered
+        else F.transform(diffs, lambda d: F.abs(d))
+    )
+    per_doc = (
+        grouped.filter(F.col("n_terms") == 2)
+        .withColumn("min_dist", F.array_min(dists))
+        .filter(F.col("min_dist").isNotNull() & (F.col("min_dist") <= slop))
+        .withColumn(
+            "score",
+            F.aggregate(
+                F.sort_array(
+                    F.transform(F.col("tscores"), lambda x: x["term_score"])
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_int"))
+    topk = (
+        per_doc.orderBy(F.desc("score"), F.asc("doc_int"))
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return (
+        F.broadcast(topk)
+        .join(index["docid_map"], "doc_int")
+        .select("rank", "doc_int", "docid", "score", "min_dist")
+    )
+
+
 def phrase_search(
     index: dict[str, DataFrame],
     phrase: list[str],

@@ -133,7 +133,22 @@ def cmd_search(args) -> None:
         _search_served(spark, idx, args)
         return
     t0 = time.time()
-    if args.phrase:
+    if args.near is not None:
+        from large_scale_hypertextual_search_engine_spark.operators.phrase import (
+            proximity_search,
+        )
+
+        if args.analyzer == "simple":
+            terms = tokenize_simple(args.query)
+        else:
+            terms = [t.term for t in tokenize_compat(args.query, stem=args.stem)]
+        if len(terms) != 2:
+            raise SystemExit("--near requires exactly two query terms")
+        res = proximity_search(
+            idx, terms[0], terms[1], slop=args.near,
+            ordered=args.near_ordered, top_k=args.top_k, tf_mode=args.tf_mode,
+        )
+    elif args.phrase:
         from large_scale_hypertextual_search_engine_spark.operators.phrase import (
             phrase_search,
         )
@@ -168,7 +183,12 @@ def cmd_search(args) -> None:
         "stage": "query", "key": "latency_ms",
         "value": round(wall * 1000, 1),
         "query": args.query,
-        "path": "phrase" if args.phrase else ("wand" if args.wand else "exact"),
+        "path": (
+            "near" if args.near is not None
+            else "phrase" if args.phrase
+            else "wand" if args.wand
+            else "exact"
+        ),
         "hits": len(rows),
     }])
     print(json.dumps({"latency_ms": round(wall * 1000, 1), "hits": len(rows)}))
@@ -511,6 +531,14 @@ def main() -> None:
     p.add_argument(
         "--phrase", action="store_true",
         help="quoted-phrase query: terms must be adjacent and in order",
+    )
+    p.add_argument(
+        "--near", type=int, default=None, metavar="SLOP",
+        help="proximity query: the two terms within SLOP positions",
+    )
+    p.add_argument(
+        "--near-ordered", action="store_true",
+        help="with --near: require the terms in query order",
     )
     p.add_argument(
         "--serve", action="store_true",

@@ -193,3 +193,69 @@ def test_phrase_search_batch_matches_single(spark, simple_index):
         ]
         rows = sorted(got.get(qid, []))
         assert rows == sorted(want), (qid, ph)
+
+
+def _brute_proximity(docs, a, b, slop, ordered):
+    """(docid -> min_dist) for docs with a qualifying (a, b) pair."""
+    out = {}
+    for r in docs.collect():
+        ts = [t for t in r["content"].split(" ") if t]
+        pa = [i for i, t in enumerate(ts) if t == a]
+        pb = [i for i, t in enumerate(ts) if t == b]
+        if not pa or not pb:
+            continue
+        if ordered:
+            ds = [q - p for p in pa for q in pb if q > p]
+        else:
+            ds = [abs(q - p) for p in pa for q in pb]
+        if ds and min(ds) <= slop:
+            out[r["docid"]] = min(ds)
+    return out
+
+
+def test_proximity_matches_bruteforce(spark, simple_index):
+    from large_scale_hypertextual_search_engine_spark.operators.phrase import (
+        proximity_search,
+    )
+
+    idx, docs = simple_index
+    for ordered in (False, True):
+        want = _brute_proximity(docs, "fast", "key", 4, ordered)
+        got = {
+            r["docid"]: r["min_dist"]
+            for r in proximity_search(
+                idx, "fast", "key", slop=4, ordered=ordered, top_k=100_000
+            ).collect()
+        }
+        assert got == want, f"ordered={ordered}"
+        assert len(got) > 0
+
+
+def test_proximity_scores_match_and_search(spark, simple_index):
+    from large_scale_hypertextual_search_engine_spark.operators.phrase import (
+        proximity_search,
+    )
+
+    idx, _docs = simple_index
+    and_scores = {
+        r["doc_int"]: r["score"]
+        for r in search(idx, ["fast", "key"], top_k=10_000, mode="and").collect()
+    }
+    rows = proximity_search(idx, "fast", "key", slop=6, top_k=10).collect()
+    assert rows
+    for r in rows:
+        assert r["score"] == and_scores[r["doc_int"]], r
+    ordered = sorted(rows, key=lambda r: (-r["score"], r["doc_int"]))
+    assert [r["rank"] for r in ordered] == list(range(1, len(rows) + 1))
+
+
+def test_proximity_validation(spark, simple_index):
+    from large_scale_hypertextual_search_engine_spark.operators.phrase import (
+        proximity_search,
+    )
+
+    idx, _docs = simple_index
+    with pytest.raises(ValueError):
+        proximity_search(idx, "fast", "fast", slop=3)
+    with pytest.raises(ValueError):
+        proximity_search(idx, "fast", "key", slop=0)
