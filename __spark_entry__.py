@@ -183,6 +183,25 @@ def q_ft_proximity(spark, sf_dir):
     )
 
 
+def q_ft_boolean(spark, sf_dir):
+    """Boolean query language: "(spark OR merge) AND NOT join" — docs
+    containing spark or merge but not join, scored as BM25 over the
+    positive terms present. The reference lists boolean search as
+    roadmap (README.md:240-263); this is the parser + single-shuffle
+    evaluator closing that gap."""
+    from large_scale_hypertextual_search_engine_spark.operators.boolsearch import (
+        boolean_search,
+    )
+
+    res = boolean_search(
+        _index(spark, sf_dir), "(spark OR merge) AND NOT join", top_k=10
+    )
+    return res.select(
+        "docid", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_autocomplete_batch(spark, sf_dir):
     """suggest_many: per-length hash equi-joins, one job for N prefixes."""
     from large_scale_hypertextual_search_engine_spark.operators.autocomplete import (
@@ -727,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_wand": q_ft_bm25_wand,
         "ft_phrase": q_ft_phrase,
         "ft_proximity": q_ft_proximity,
+        "ft_boolean": q_ft_boolean,
         "ft_autocomplete": q_ft_autocomplete,
         "autocomplete_batch": q_autocomplete_batch,
         "dedup_exact": q_dedup_exact,
@@ -911,6 +931,42 @@ ORDER BY score DESC, docid ASC
 LIMIT 10"""
 
 
+def _boolean_true_sql(positive: list[str], negative: list[str]) -> str:
+    """Oracle for boolean_search over the normal form
+    ``(p1 OR p2 OR ...) AND NOT n1 AND NOT n2 ...``: membership = any
+    positive term present and no negative term present; score = the
+    _bm25_true_sql OR fold over the positive terms (negative terms gate
+    membership, never the score — boolsearch module docstring)."""
+    pos_in = ", ".join(f"'{t}'" for t in positive)
+    neg_in = ", ".join(f"'{t}'" for t in negative)
+    return f"""
+WITH {_TOKS},{_DL_STATS},
+tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ({pos_in}) GROUP BY docid, term),
+dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
+neg AS (SELECT DISTINCT docid FROM toks WHERE term IN ({neg_in})),
+cand AS (SELECT docid FROM tfs
+         WHERE docid NOT IN (SELECT docid FROM neg) GROUP BY docid),
+scored AS (
+  SELECT t.docid,
+         SUM( ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+            * (((1.5 + 1.0) * t.tf) /
+               (1.5 * (1.0 - 0.75 + 0.75 * (l.doc_len / s.avg_dl)) + t.tf)) ) AS score
+  FROM tfs t
+  JOIN cand c ON c.docid = t.docid
+  JOIN dfs f ON f.term = t.term
+  JOIN dl l ON l.docid = t.docid
+  CROSS JOIN stats s
+  GROUP BY t.docid
+)
+SELECT docid,
+       CAST(row_number() OVER (ORDER BY score DESC, docid ASC) AS INTEGER) AS rank,
+       round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, docid ASC
+LIMIT 10"""
+
+
 def _bm25_compat_sql(terms: list[str]) -> str:
     inlist = ", ".join(f"'{t}'" for t in terms)
     return f"""
@@ -1005,6 +1061,7 @@ FROM (SELECT CAST(doc_id AS VARCHAR) AS docid FROM documents)""",
         "ft_bm25_wand": _bm25_true_sql(["merge", "window"], "or"),
         "ft_phrase": _phrase_true_sql(["fast", "key"]),
         "ft_proximity": _proximity_true_sql("fast", "key", 4),
+        "ft_boolean": _boolean_true_sql(["merge", "spark"], ["join"]),
         "autocomplete_batch": f"""
 WITH {_TOKS},
 lex AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),

@@ -1,0 +1,374 @@
+"""Boolean query language: parser + single-shuffle DataFrame evaluator.
+
+The reference lists "No query parser yet" as a limitation and
+"Implement Boolean search" on its roadmap (README.md:240-263); its
+engine accepts only a flat term list with a fixed AND/OR mode
+(Query-engine.hpp:275-374). This module closes that gap: a recursive-
+descent parser for
+
+    query   := or
+    or      := and (OR and)*
+    and     := not ((AND)? not)*          -- adjacency is implicit AND
+    not     := NOT not | atom
+    atom    := '(' query ')' | '"' phrase '"' | term
+
+(keywords case-insensitive; quoted phrases use the positional index,
+see operators/phrase.py) and an evaluator that compiles the AST into a
+single Catalyst plan.
+
+Semantics:
+* A document MATCHES when the boolean expression holds over its leaf
+  memberships — term leaf: the doc contains the term; phrase leaf: the
+  doc contains the exact adjacent-in-order phrase. Queries that would
+  match a document containing none of the query's terms (e.g. ``NOT x``
+  alone, or ``a OR NOT b``) are rejected up front: evaluation is over
+  the union of the leaves' posting lists, so an engine cannot enumerate
+  the complement of the collection — the standard IR restriction.
+* Matching docs SCORE as the BM25 sum over the distinct POSITIVE terms
+  they contain (a term is positive when some occurrence in the AST sits
+  under an even number of NOTs; phrase terms count). Negative-only
+  terms gate membership but contribute no score — identical to how
+  ``query.search`` AND/OR modes score their term sets, same
+  deterministic ascending-sorted FP fold, same (score desc, doc_int
+  asc) tiebreak. ``a AND b`` and ``a OR b`` are rank-identical to
+  search(mode="and"/"or") by construction (pytest-asserted), EXCEPT
+  that a term absent from the lexicon fails an AND here (strict
+  boolean) where the reference skips it (Query-engine.hpp:320-326 —
+  that compat behavior stays on ``search``).
+
+Spark-first shape: ONE decode pass over the bucket-pruned postings scan
+(positions ride along only when the query has a phrase leaf), then ONE
+hash exchange on doc_int that serves BOTH aggregation levels — the
+per-(doc, leaf) slot/adjacency agg and the per-doc leaf-set agg — since
+HashPartitioning(doc_int) satisfies the clustered distribution of
+(doc_int, leaf_id). The boolean expression itself becomes a pure-JVM
+Column over ``array_contains(matched_leaves, id)``: no Python in the
+filter, no per-leaf subquery joins, no N-way intersection shuffles. At
+100 TB this is the ``search_batch`` plan with a richer residual filter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions.bm25 import K1, B, bm25_score
+from .phrase import decode_postings_positions_df
+from .query import _stats, decode_postings_df, prune_buckets
+
+# ------------------------------------------------------------------ AST
+
+
+@dataclass(frozen=True)
+class Term:
+    term: str
+
+
+@dataclass(frozen=True)
+class Phrase:
+    terms: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class Not:
+    child: "Node"
+
+
+@dataclass(frozen=True)
+class And:
+    children: tuple["Node", ...]
+
+
+@dataclass(frozen=True)
+class Or:
+    children: tuple["Node", ...]
+
+
+Node = Term | Phrase | Not | And | Or
+
+_KEYWORDS = {"and": "AND", "or": "OR", "not": "NOT"}
+
+
+def _lex(q: str) -> list[tuple[str, str]]:
+    """-> [(kind, value)]; kinds: LP RP AND OR NOT PHRASE TERM."""
+    toks: list[tuple[str, str]] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+        elif c == "(":
+            toks.append(("LP", c))
+            i += 1
+        elif c == ")":
+            toks.append(("RP", c))
+            i += 1
+        elif c == '"':
+            j = q.find('"', i + 1)
+            if j < 0:
+                raise ValueError(f"unterminated quote at offset {i}")
+            toks.append(("PHRASE", q[i + 1 : j]))
+            i = j + 1
+        else:
+            j = i
+            while j < n and not q[j].isspace() and q[j] not in '()"':
+                j += 1
+            word = q[i:j]
+            kind = _KEYWORDS.get(word.lower(), "TERM")
+            toks.append((kind, word))
+            i = j
+    return toks
+
+
+def parse_query(q: str, analyze=None) -> Node:
+    """Parse a boolean query string into an AST.
+
+    ``analyze`` maps a raw word to its index terms (list); default
+    splits on single spaces and lowercases — the engine's "simple"
+    analyzer (tokenizer.tokenize_simple semantics for single words).
+    A word that analyzes to several terms becomes an implicit phrase
+    (consistent with how search engines treat hyphenated input).
+    """
+    if analyze is None:
+        analyze = lambda w: [t for t in w.lower().split(" ") if t]  # noqa: E731
+    toks = _lex(q)
+    pos = 0
+
+    def peek():
+        return toks[pos][0] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        if pos >= len(toks):
+            raise ValueError("unexpected end of query")
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def p_atom() -> Node:
+        kind, val = take()
+        if kind == "LP":
+            node = p_or()
+            if peek() != "RP":
+                raise ValueError("unbalanced parenthesis")
+            take()
+            return node
+        if kind == "PHRASE":
+            terms = [t for w in val.split() for t in analyze(w)]
+            if not terms:
+                raise ValueError("empty phrase")
+            return Term(terms[0]) if len(terms) == 1 else Phrase(tuple(terms))
+        if kind == "TERM":
+            terms = analyze(val)
+            if not terms:
+                raise ValueError(f"word {val!r} analyzes to no terms")
+            return Term(terms[0]) if len(terms) == 1 else Phrase(tuple(terms))
+        raise ValueError(f"unexpected {val!r}")
+
+    def p_not() -> Node:
+        if peek() == "NOT":
+            take()
+            return Not(p_not())
+        return p_atom()
+
+    def p_and() -> Node:
+        children = [p_not()]
+        while True:
+            nxt = peek()
+            if nxt == "AND":
+                take()
+                children.append(p_not())
+            elif nxt in ("TERM", "PHRASE", "LP", "NOT"):
+                children.append(p_not())  # implicit AND
+            else:
+                break
+        return children[0] if len(children) == 1 else And(tuple(children))
+
+    def p_or() -> Node:
+        children = [p_and()]
+        while peek() == "OR":
+            take()
+            children.append(p_and())
+        return children[0] if len(children) == 1 else Or(tuple(children))
+
+    if not toks:
+        raise ValueError("empty query")
+    node = p_or()
+    if pos != len(toks):
+        raise ValueError(f"trailing input from token {pos}: {toks[pos:]}")
+    return node
+
+
+# ------------------------------------------------------------ analysis
+
+
+def _leaves(node: Node) -> list[Term | Phrase]:
+    if isinstance(node, (Term, Phrase)):
+        return [node]
+    if isinstance(node, Not):
+        return _leaves(node.child)
+    return [l for c in node.children for l in _leaves(c)]
+
+
+def _positive_terms(node: Node, neg: bool = False) -> set[str]:
+    """Terms with at least one occurrence under an even number of NOTs."""
+    if isinstance(node, Term):
+        return set() if neg else {node.term}
+    if isinstance(node, Phrase):
+        return set() if neg else set(node.terms)
+    if isinstance(node, Not):
+        return _positive_terms(node.child, not neg)
+    return set().union(*(_positive_terms(c, neg) for c in node.children))
+
+
+def _eval_const(node: Node, truth: dict[int, bool], ids: dict[Node, int]) -> bool:
+    if isinstance(node, (Term, Phrase)):
+        return truth[ids[node]]
+    if isinstance(node, Not):
+        return not _eval_const(node.child, truth, ids)
+    vals = (_eval_const(c, truth, ids) for c in node.children)
+    return all(vals) if isinstance(node, And) else any(vals)
+
+
+def _compile(node: Node, ids: dict[Node, int], present: Column) -> Column:
+    if isinstance(node, (Term, Phrase)):
+        return F.array_contains(present, F.lit(ids[node]))
+    if isinstance(node, Not):
+        return ~_compile(node.child, ids, present)
+    cols = [_compile(c, ids, present) for c in node.children]
+    op = (lambda a, b: a & b) if isinstance(node, And) else (lambda a, b: a | b)
+    return reduce(op, cols)
+
+
+# ----------------------------------------------------------- evaluator
+
+
+def boolean_search(
+    index: dict[str, DataFrame],
+    query: str | Node,
+    top_k: int = 10,
+    tf_mode: str = "true",
+    k1: float = K1,
+    b: float = B,
+    analyze=None,
+) -> DataFrame:
+    """Evaluate a boolean query -> (rank, doc_int, docid, score).
+
+    ``query`` is a raw string (parsed with :func:`parse_query`) or a
+    pre-built AST node. See module docstring for match/score semantics
+    and the single-decode / single-shuffle plan shape.
+    """
+    node = parse_query(query, analyze) if isinstance(query, str) else query
+    leaves = list(dict.fromkeys(_leaves(node)))
+    ids = {leaf: i for i, leaf in enumerate(leaves)}
+
+    # reject queries satisfiable by a document containing no query term
+    if _eval_const(node, {i: False for i in ids.values()}, ids):
+        raise ValueError(
+            "query would match documents containing none of its terms "
+            "(e.g. a bare or OR-ed NOT); add a positive clause"
+        )
+
+    positive = sorted(_positive_terms(node))
+    all_terms = sorted({t for l in leaves for t in
+                        (l.terms if isinstance(l, Phrase) else (l.term,))})
+    has_phrase = any(isinstance(l, Phrase) for l in leaves)
+    n_docs, avg_dl = _stats(index)
+    spark = index["postings"].sparkSession
+
+    pruned = prune_buckets(index, all_terms)
+    decoded = (
+        decode_postings_positions_df(pruned, all_terms)
+        if has_phrase
+        else decode_postings_df(pruned, all_terms)
+    )
+
+    # (leaf_id, slot idx, term): Term leaves are 1-slot "phrases"
+    slot_rows = []
+    for leaf, lid in ids.items():
+        terms = leaf.terms if isinstance(leaf, Phrase) else (leaf.term,)
+        slot_rows += [(lid, i, t, len(terms)) for i, t in enumerate(terms)]
+    slots = spark.createDataFrame(
+        slot_rows, "leaf_id long, idx long, term string, m long"
+    )
+
+    doc_stats = index["doc_stats"].select("doc_int", "doc_len")
+    tf_eff = F.lit(1.0) if tf_mode == "compat" else F.col("tf").cast("double")
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cand = (
+        decoded.join(F.broadcast(slots), "term")
+        # the ONLY exchange: hash on doc_int co-locates every (doc, leaf)
+        # group AND every doc group, so both groupBys below reuse it
+        .repartition(npart, "doc_int")
+        .join(doc_stats, "doc_int", "left")
+        .withColumn(
+            "dl",
+            F.coalesce(F.col("doc_len"), F.floor(F.lit(avg_dl))).cast("double"),
+        )
+        .withColumn(
+            "term_score",
+            bm25_score(
+                tf_eff, F.col("df"), F.col("dl"),
+                F.lit(float(n_docs)), F.lit(avg_dl), k1, b,
+            ),
+        )
+    )
+    if has_phrase:
+        cand = cand.withColumn(
+            "adj", F.transform("positions", lambda p: p - F.col("idx"))
+        )
+        items = F.sort_array(F.collect_list(F.struct("idx", "adj")))
+        starts = F.aggregate(
+            F.expr("slice(items, 2, size(items) - 1)"),
+            F.col("items")[0]["adj"],
+            lambda acc, x: F.array_intersect(acc, x["adj"]),
+        )
+        per_leaf = (
+            cand.groupBy("doc_int", "leaf_id")
+            .agg(
+                F.count("*").alias("n_slots"),
+                F.max("m").alias("m"),
+                items.alias("items"),
+                F.collect_set(F.struct("term", "term_score")).alias("ts"),
+            )
+            .withColumn(
+                "matched",
+                (F.col("n_slots") == F.col("m"))
+                & ((F.col("m") == 1) | (F.size(starts) > 0)),
+            )
+        )
+    else:
+        per_leaf = cand.groupBy("doc_int", "leaf_id").agg(
+            F.collect_set(F.struct("term", "term_score")).alias("ts"),
+        ).withColumn("matched", F.lit(True))
+
+    per_doc = per_leaf.groupBy("doc_int").agg(
+        F.collect_set(F.when(F.col("matched"), F.col("leaf_id"))).alias(
+            "present"
+        ),
+        F.array_distinct(F.flatten(F.collect_list("ts"))).alias("all_ts"),
+    )
+    pos_scores = F.filter(
+        F.col("all_ts"), lambda x: x["term"].isin(positive) if positive else F.lit(False)
+    )
+    matched_docs = per_doc.filter(_compile(node, ids, F.col("present"))).withColumn(
+        "score",
+        F.aggregate(
+            F.sort_array(F.transform(pos_scores, lambda x: x["term_score"])),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_int"))
+    topk = (
+        matched_docs.orderBy(F.desc("score"), F.asc("doc_int"))
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return (
+        F.broadcast(topk)
+        .join(index["docid_map"], "doc_int")
+        .select("rank", "doc_int", "docid", "score")
+    )

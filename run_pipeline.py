@@ -133,7 +133,22 @@ def cmd_search(args) -> None:
         _search_served(spark, idx, args)
         return
     t0 = time.time()
-    if args.near is not None:
+    if args.boolean:
+        from large_scale_hypertextual_search_engine_spark.operators.boolsearch import (
+            boolean_search,
+        )
+
+        if args.analyzer == "simple":
+            analyze = tokenize_simple
+        else:
+            analyze = lambda w: [  # noqa: E731
+                t.term for t in tokenize_compat(w, stem=args.stem)
+            ]
+        res = boolean_search(
+            idx, args.query, top_k=args.top_k, tf_mode=args.tf_mode,
+            analyze=analyze,
+        )
+    elif args.near is not None:
         from large_scale_hypertextual_search_engine_spark.operators.phrase import (
             proximity_search,
         )
@@ -184,7 +199,8 @@ def cmd_search(args) -> None:
         "value": round(wall * 1000, 1),
         "query": args.query,
         "path": (
-            "near" if args.near is not None
+            "boolean" if args.boolean
+            else "near" if args.near is not None
             else "phrase" if args.phrase
             else "wand" if args.wand
             else "exact"
@@ -539,6 +555,11 @@ def main() -> None:
     p.add_argument(
         "--near-ordered", action="store_true",
         help="with --near: require the terms in query order",
+    )
+    p.add_argument(
+        "--boolean", action="store_true",
+        help='treat --query as a boolean expression: AND/OR/NOT, '
+             'parentheses, "quoted phrases" (operators/boolsearch.py)',
     )
     p.add_argument(
         "--serve", action="store_true",

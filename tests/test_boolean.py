@@ -1,0 +1,223 @@
+"""Boolean query language: parser unit tests, brute-force match parity,
+score consistency with the flat AND/OR engine, and plan shape."""
+
+import re
+
+import pytest
+
+from large_scale_hypertextual_search_engine_spark.operators.boolsearch import (
+    And,
+    Not,
+    Or,
+    Phrase,
+    Term,
+    boolean_search,
+    parse_query,
+)
+from large_scale_hypertextual_search_engine_spark.operators.index_build import (
+    build_index,
+)
+from large_scale_hypertextual_search_engine_spark.operators.query import search
+
+
+@pytest.fixture(scope="module")
+def simple_index(spark):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("cast(doc_id as string) as docid", "text as content")
+    )
+    idx = build_index(docs, mode="simple", stem=False, salt_buckets=2)
+    for k in ("doc_stats", "postings", "lexicon", "docid_map", "collection_stats"):
+        idx[k] = idx[k].cache()
+    return idx, docs
+
+
+# ------------------------------------------------------------- parser
+
+
+def test_parse_precedence_or_lowest():
+    assert parse_query("a OR b AND c") == Or(
+        (Term("a"), And((Term("b"), Term("c"))))
+    )
+
+
+def test_parse_implicit_and():
+    assert parse_query("a b c") == And((Term("a"), Term("b"), Term("c")))
+
+
+def test_parse_not_binds_tightest():
+    assert parse_query("NOT a AND b") == And((Not(Term("a")), Term("b")))
+    assert parse_query("NOT NOT a OR b") == Or((Not(Not(Term("a"))), Term("b")))
+
+
+def test_parse_parens_and_phrase():
+    assert parse_query('(a OR b) "x y" c') == And(
+        (Or((Term("a"), Term("b"))), Phrase(("x", "y")), Term("c"))
+    )
+
+
+def test_parse_keywords_case_insensitive_and_lowercasing():
+    assert parse_query("A and B or not C") == Or(
+        (And((Term("a"), Term("b"))), Not(Term("c")))
+    )
+
+
+def test_parse_single_word_phrase_is_term():
+    assert parse_query('"solo"') == Term("solo")
+
+
+def test_parse_errors():
+    for bad in ["", "(a OR b", 'a "unterminated', "a )", "a OR", "AND a"]:
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+# -------------------------------------------------- evaluator semantics
+
+
+def _brute_match(docs, pred):
+    """docids whose token SET satisfies pred(tokens)."""
+    out = set()
+    for r in docs.collect():
+        toks = set(t for t in r["content"].split(" ") if t)
+        if pred(toks):
+            out.add(r["docid"])
+    return out
+
+
+def test_rejects_negative_only_queries(spark, simple_index):
+    idx, _ = simple_index
+    for q in ["NOT spark", "spark OR NOT join", "NOT spark AND NOT join"]:
+        with pytest.raises(ValueError, match="positive clause"):
+            boolean_search(idx, q)
+
+
+def test_and_or_parity_with_flat_search(spark, simple_index):
+    idx, _ = simple_index
+    for q, terms, mode in [
+        ("spark AND join", ["spark", "join"], "and"),
+        ("merge OR window", ["merge", "window"], "or"),
+    ]:
+        got = [
+            (r["docid"], r["rank"], r["score"])
+            for r in boolean_search(idx, q, top_k=10).collect()
+        ]
+        want = [
+            (r["docid"], r["rank"], r["score"])
+            for r in search(idx, terms, top_k=10, mode=mode).collect()
+        ]
+        assert got == want, q
+        assert len(got) == 10
+
+
+def test_not_and_nesting_match_bruteforce(spark, simple_index):
+    idx, docs = simple_index
+    cases = [
+        (
+            "(spark OR merge) AND NOT join",
+            lambda t: ("spark" in t or "merge" in t) and "join" not in t,
+        ),
+        (
+            "spark AND NOT (join OR merge)",
+            lambda t: "spark" in t and not ("join" in t or "merge" in t),
+        ),
+        (
+            "spark AND NOT NOT join",
+            lambda t: "spark" in t and "join" in t,
+        ),
+    ]
+    for q, pred in cases:
+        want = _brute_match(docs, pred)
+        got = {
+            r["docid"]
+            for r in boolean_search(idx, q, top_k=10**6).collect()
+        }
+        assert got == want, q
+        assert got, q
+
+
+def test_not_docs_score_as_positive_subquery(spark, simple_index):
+    """Matching docs of `(spark OR merge) AND NOT join` carry exactly
+    the scores the flat OR engine gives them over {spark, merge} —
+    the negated term gates membership, never the score."""
+    idx, docs = simple_index
+    want_docs = _brute_match(
+        docs, lambda t: ("spark" in t or "merge" in t) and "join" not in t
+    )
+    flat = {
+        r["docid"]: r["score"]
+        for r in search(
+            idx, ["spark", "merge"], top_k=10**6, mode="or"
+        ).collect()
+    }
+    got = boolean_search(
+        idx, "(spark OR merge) AND NOT join", top_k=10**6
+    ).collect()
+    assert {r["docid"] for r in got} == want_docs
+    for r in got:
+        assert r["score"] == flat[r["docid"]], r["docid"]
+
+
+def test_phrase_atom_matches_phrase_operator(spark, simple_index):
+    from large_scale_hypertextual_search_engine_spark.operators.phrase import (
+        phrase_match_docs,
+    )
+
+    idx, docs = simple_index
+    ph_docs = {
+        r["docid"]
+        for r in phrase_match_docs(idx, ["fast", "key"])
+        .join(idx["docid_map"], "doc_int")
+        .select("docid")
+        .collect()
+    }
+    spark_docs = _brute_match(docs, lambda t: "spark" in t)
+    want = ph_docs - spark_docs
+    got = {
+        r["docid"]
+        for r in boolean_search(
+            idx, '"fast key" AND NOT spark', top_k=10**6
+        ).collect()
+    }
+    assert got == want
+    assert got
+
+
+def test_term_absent_from_lexicon_fails_and(spark, simple_index):
+    idx, _ = simple_index
+    assert boolean_search(idx, "spark AND zzzmissingterm").count() == 0
+    # ... but an OR branch still matches
+    assert boolean_search(idx, "spark OR zzzmissingterm").count() > 0
+
+
+# ----------------------------------------------------------- plan shape
+
+
+def test_boolean_plan_shape(spark, tmp_path_factory):
+    from large_scale_hypertextual_search_engine_spark.plans.lineage import (
+        build_and_save_index, load_index,
+    )
+
+    out = str(tmp_path_factory.mktemp("boolidx"))
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("cast(doc_id as string) as docid", "text as content")
+        .limit(120)
+    )
+    build_and_save_index(docs, out, "bool-plan-test", mode="simple", stem=False)
+    idx = load_index(spark, out)
+    # quoting escapes keywords: "and" is the term, not the operator
+    for q in ['(the OR "and") AND NOT of', '"the and" AND NOT of']:
+        plan = (
+            boolean_search(idx, q, top_k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # decode kernel runs exactly once; candidates shuffle exactly
+        # once (the doc_int repartition reused by both agg levels)
+        assert len(re.findall(r"MapInPandas", plan)) == 1, (q, plan)
+        assert len(re.findall(r"REPARTITION_BY_NUM", plan)) == 1, (q, plan)
+        assert "SortMergeJoin" not in plan, (q, plan)
+        scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+        assert any("term" in l and " IN " in l for l in scan_lines), scan_lines
