@@ -41,6 +41,53 @@ from ..functions.bm25 import B, K1
 from ..functions.varbyte import decode_postings, decode_postings_fast
 from .query import prune_buckets
 
+_EMPTY = np.empty(0, np.int64)
+
+
+def _phrase_match(phrase, pos):
+    """Adjacent-in-order phrase match over position-decoded postings ->
+    (phrase_docs, n_occurrences), both sorted by doc. ``pos`` maps
+    term -> (df, docids, tfs, flat_positions); a term absent from the
+    map (no postings) can never phrase-match. The adjacency test is the
+    numpy mirror of the Spark path's array_intersect fold: per phrase
+    slot i every (doc, position - i) pair is emitted, then one lexsort
+    groups equal (doc, adjusted) keys — a key held by all m slots is a
+    phrase start."""
+    m = len(phrase)
+    if any(t not in pos for t in phrase):
+        return _EMPTY, _EMPTY
+    doc_parts, adj_parts = [], []
+    for i, t in enumerate(phrase):
+        _df, docids, tfs, flat_pos = pos[t]
+        doc_parts.append(np.repeat(docids, tfs))
+        adj_parts.append(flat_pos - i)
+    docs = np.concatenate(doc_parts)
+    if docs.size == 0:
+        return _EMPTY, _EMPTY
+    adjs = np.concatenate(adj_parts)
+    order = np.lexsort((adjs, docs))
+    docs, adjs = docs[order], adjs[order]
+    # group boundaries of equal (doc, adj); a group of size m has
+    # every slot (each slot contributes at most one row per key)
+    new_grp = np.empty(docs.size, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (docs[1:] != docs[:-1]) | (adjs[1:] != adjs[:-1])
+    grp_start = np.flatnonzero(new_grp)
+    grp_len = np.diff(np.append(grp_start, docs.size))
+    full = grp_len == m
+    if not full.any():
+        return _EMPTY, _EMPTY
+    return np.unique(docs[grp_start[full]], return_counts=True)
+
+
+def _sorted_member(haystack, needles):
+    """Boolean membership of ``needles`` in SORTED unique ``haystack``."""
+    if haystack.size == 0:
+        return np.zeros(needles.size, dtype=bool)
+    idx = np.searchsorted(haystack, needles)
+    idx[idx == haystack.size] = 0
+    return haystack[idx] == needles
+
 
 class SearchServer:
     def __init__(
@@ -229,33 +276,11 @@ class SearchServer:
         all m slots is a phrase start."""
         if not phrase:
             raise ValueError("empty phrase")
-        m = len(phrase)
         uniq = list(dict.fromkeys(phrase))
         pos = self._fetch_positions(uniq)
-        if any(t not in pos for t in uniq):
-            return []  # a term with no postings can never phrase-match
-
-        doc_parts, adj_parts = [], []
-        for i, t in enumerate(phrase):
-            _df, docids, tfs, flat_pos = pos[t]
-            doc_parts.append(np.repeat(docids, tfs))
-            adj_parts.append(flat_pos - i)
-        docs = np.concatenate(doc_parts)
-        adjs = np.concatenate(adj_parts)
-        order = np.lexsort((adjs, docs))
-        docs, adjs = docs[order], adjs[order]
-        # group boundaries of equal (doc, adj); a group of size m has
-        # every slot (each slot contributes at most one row per key)
-        new_grp = np.empty(docs.size, dtype=bool)
-        new_grp[0] = True
-        new_grp[1:] = (docs[1:] != docs[:-1]) | (adjs[1:] != adjs[:-1])
-        grp_start = np.flatnonzero(new_grp)
-        grp_len = np.diff(np.append(grp_start, docs.size))
-        full = grp_len == m
-        if not full.any():
+        phrase_docs, n_occ = _phrase_match(phrase, pos)
+        if phrase_docs.size == 0:
             return []
-        start_docs = docs[grp_start[full]]
-        phrase_docs, n_occ = np.unique(start_docs, return_counts=True)
 
         # scoring: identical expression tree + ascending per-doc fold as
         # search() AND mode, restricted to the phrase docs (which by
@@ -287,6 +312,128 @@ class SearchServer:
                 "docid": self._docids[int(phrase_docs[j])],
                 "score": float(sums[j]),
                 "n_occurrences": int(n_occ[j]),
+            }
+            for i, j in enumerate(top)
+        ]
+
+    def search_boolean(
+        self,
+        query,
+        top_k: int = 10,
+        tf_mode: str = "true",
+        k1: float = K1,
+        b: float = B,
+        analyze=None,
+    ) -> list[dict]:
+        """Boolean query (string or pre-parsed AST) served warm —
+        rank-identical (scores equal to double rounding) to
+        ``operators.boolsearch.boolean_search``. Same semantics: docs
+        satisfying the expression over leaf memberships, scored as BM25
+        over the positive terms they contain; negative-only queries
+        rejected. Leaf memberships become numpy bool arrays over the
+        candidate union, the AST folds into vectorized &/|/~, scoring
+        reuses the ascending (doc, score) lexsort + reduceat fold of
+        ``search()``."""
+        from functools import reduce
+
+        from .boolsearch import (
+            And,
+            Not,
+            Phrase,
+            Term,
+            _eval_const,
+            _leaves,
+            _positive_terms,
+            parse_query,
+        )
+
+        node = parse_query(query, analyze) if isinstance(query, str) else query
+        leaves = list(dict.fromkeys(_leaves(node)))
+        ids = {leaf: i for i, leaf in enumerate(leaves)}
+        if _eval_const(node, {i: False for i in ids.values()}, ids):
+            raise ValueError(
+                "query would match documents containing none of its terms "
+                "(e.g. a bare or OR-ed NOT); add a positive clause"
+            )
+        positive = sorted(_positive_terms(node))
+        phrase_terms = sorted(
+            {t for l in leaves if isinstance(l, Phrase) for t in l.terms}
+        )
+        flat_terms = sorted(
+            {l.term for l in leaves if isinstance(l, Term)}
+            - set(phrase_terms)
+        )
+        # one positions job for phrase terms, one cached fetch for the
+        # rest; phrase-term (df, docids, tfs) reused for scoring so no
+        # term is decoded twice
+        pos = self._fetch_positions(phrase_terms) if phrase_terms else {}
+        entries = {t: e[:3] for t, e in pos.items()}
+        for t, e in self._fetch(flat_terms).items():
+            entries[t] = e
+
+        leaf_docs = []
+        for leaf in leaves:
+            if isinstance(leaf, Term):
+                leaf_docs.append(
+                    entries.get(leaf.term, (0, _EMPTY, _EMPTY))[1]
+                )
+            else:
+                leaf_docs.append(_phrase_match(list(leaf.terms), pos)[0])
+        nonempty = [d for d in leaf_docs if d.size]
+        if not nonempty:
+            return []
+        cand = np.unique(np.concatenate(nonempty))
+        member = [_sorted_member(d, cand) for d in leaf_docs]
+
+        def ev(n):
+            if isinstance(n, (Term, Phrase)):
+                return member[ids[n]]
+            if isinstance(n, Not):
+                return ~ev(n.child)
+            op = np.logical_and if isinstance(n, And) else np.logical_or
+            return reduce(op, (ev(c) for c in n.children))
+
+        matched = cand[ev(node)]
+        if matched.size == 0:
+            return []
+
+        doc_parts, score_parts = [], []
+        for t in positive:
+            df, docids, tfs = entries.get(t, (0, _EMPTY, _EMPTY))
+            if df == 0:
+                continue
+            idx = np.searchsorted(docids, matched)
+            idx_c = np.minimum(idx, docids.size - 1)
+            mask = docids[idx_c] == matched
+            docs_t = matched[mask]
+            idf = np.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            tf = (
+                np.broadcast_to(np.float64(1.0), docs_t.shape)
+                if tf_mode == "compat"
+                else tfs[idx_c[mask]].astype(np.float64)
+            )
+            dl = self._dl[docs_t]
+            tfc = ((k1 + 1.0) * tf) / (
+                k1 * (1.0 - b + b * (dl / self.avg_dl)) + tf
+            )
+            doc_parts.append(docs_t)
+            score_parts.append(idf * tfc)
+        if not doc_parts:
+            return []
+        docs = np.concatenate(doc_parts)
+        scores = np.concatenate(score_parts)
+        order = np.lexsort((scores, docs))
+        docs, scores = docs[order], scores[order]
+        uniq_docs, starts = np.unique(docs, return_index=True)
+        sums = np.add.reduceat(scores, starts)
+        k = min(top_k, uniq_docs.size)
+        top = np.lexsort((uniq_docs, -sums))[:k]
+        return [
+            {
+                "rank": i + 1,
+                "doc_int": int(uniq_docs[j]),
+                "docid": self._docids[int(uniq_docs[j])],
+                "score": float(sums[j]),
             }
             for i, j in enumerate(top)
         ]

@@ -225,17 +225,31 @@ def _search_served(spark, idx, args) -> None:
 
     if args.analyzer == "simple":
         terms = tokenize_simple(args.query)
+        analyze = tokenize_simple
     else:
         terms = [t.term for t in tokenize_compat(args.query, stem=args.stem)]
+        analyze = lambda w: [  # noqa: E731
+            t.term for t in tokenize_compat(w, stem=args.stem)
+        ]
     srv = SearchServer(idx)
+    if args.boolean:
+        run = lambda: srv.search_boolean(  # noqa: E731
+            args.query, top_k=args.top_k, tf_mode=args.tf_mode, analyze=analyze
+        )
+    elif args.phrase:
+        run = lambda: srv.search_phrase(  # noqa: E731
+            terms, top_k=args.top_k, tf_mode=args.tf_mode
+        )
+    else:
+        run = lambda: srv.search(  # noqa: E731
+            terms, top_k=args.top_k, mode=args.mode, tf_mode=args.tf_mode
+        )
     t0 = time.time()
-    rows = srv.search(terms, top_k=args.top_k, mode=args.mode, tf_mode=args.tf_mode)
+    rows = run()
     cold_ms = (time.time() - t0) * 1000
     t0 = time.time()
     for _ in range(10):
-        rows = srv.search(
-            terms, top_k=args.top_k, mode=args.mode, tf_mode=args.tf_mode
-        )
+        rows = run()
     warm_ms = (time.time() - t0) * 1000 / 10
     for r in rows:
         print(f"{r['rank']:3d}  {r['score']:12.6f}  {r['docid']}")

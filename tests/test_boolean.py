@@ -221,3 +221,66 @@ def test_boolean_plan_shape(spark, tmp_path_factory):
         assert "SortMergeJoin" not in plan, (q, plan)
         scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
         assert any("term" in l and " IN " in l for l in scan_lines), scan_lines
+
+
+# ------------------------------------------------------- warm serving
+
+
+BOOL_QUERIES = [
+    "spark AND join",
+    "merge OR window",
+    "(spark OR merge) AND NOT join",
+    "spark AND NOT (join OR merge)",
+    '"fast key" AND NOT spark',
+    '(spark AND NOT merge) OR (merge AND NOT spark)',
+    "spark OR zzzmissingterm",
+    "spark AND zzzmissingterm",
+]
+
+
+def test_served_boolean_matches_spark(spark, simple_index):
+    from large_scale_hypertextual_search_engine_spark.operators.serving import (
+        SearchServer,
+    )
+
+    idx, _ = simple_index
+    srv = SearchServer(idx)
+    for q in BOOL_QUERIES:
+        expect = sorted(
+            (r["rank"], r["doc_int"], r["docid"], r["score"])
+            for r in boolean_search(idx, q, top_k=10).collect()
+        )
+        got = [
+            (r["rank"], r["doc_int"], r["docid"], r["score"])
+            for r in srv.search_boolean(q, top_k=10)
+        ]
+        assert [g[:3] for g in got] == [e[:3] for e in expect], q
+        for g, e in zip(got, expect):
+            assert g[3] == pytest.approx(e[3], abs=1e-12, rel=1e-12), (q, g, e)
+
+
+def test_served_boolean_rejects_negative_only(spark, simple_index):
+    from large_scale_hypertextual_search_engine_spark.operators.serving import (
+        SearchServer,
+    )
+
+    idx, _ = simple_index
+    srv = SearchServer(idx)
+    with pytest.raises(ValueError, match="positive clause"):
+        srv.search_boolean("spark OR NOT join")
+
+
+def test_served_boolean_small_cache(spark, simple_index):
+    """A tiny LRU must not break a query with more terms than slots
+    (the round-3 _fetch eviction race, boolean path)."""
+    from large_scale_hypertextual_search_engine_spark.operators.serving import (
+        SearchServer,
+    )
+
+    idx, _ = simple_index
+    srv = SearchServer(idx, max_cached_terms=2)
+    expect = {r["docid"] for r in boolean_search(
+        idx, "(spark OR merge) AND (join OR window)", top_k=10).collect()}
+    got = {r["docid"] for r in srv.search_boolean(
+        "(spark OR merge) AND (join OR window)", top_k=10)}
+    assert got == expect and got
