@@ -202,6 +202,30 @@ def q_ft_boolean(spark, sf_dir):
     )
 
 
+def q_ft_snippets(spark, sf_dir):
+    """BM25 AND top-10 for (spark, join) with best-window snippets:
+    the 10-token window of each hit maximizing distinct query terms
+    (earliest on ties), pure-JVM higher-order expressions over the
+    broadcast-joined hit docs. The reference returns bare docids
+    (Query-engine.hpp:275-374); this is the result-presentation half
+    of its web-interface roadmap item."""
+    from large_scale_hypertextual_search_engine_spark.operators.snippet import (
+        search_snippets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = search_snippets(
+        _index(spark, sf_dir), docs, ["spark", "join"],
+        top_k=10, window=10, mode="and", tf_mode="true",
+    )
+    return res.select(
+        "docid", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+        F.col("n_hits").cast("int").alias("n_hits"),
+        "snippet",
+    )
+
+
 def q_autocomplete_batch(spark, sf_dir):
     """suggest_many: per-length hash equi-joins, one job for N prefixes."""
     from large_scale_hypertextual_search_engine_spark.operators.autocomplete import (
@@ -747,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase": q_ft_phrase,
         "ft_proximity": q_ft_proximity,
         "ft_boolean": q_ft_boolean,
+        "ft_snippets": q_ft_snippets,
         "ft_autocomplete": q_ft_autocomplete,
         "autocomplete_batch": q_autocomplete_batch,
         "dedup_exact": q_dedup_exact,
@@ -967,6 +992,81 @@ ORDER BY score DESC, docid ASC
 LIMIT 10"""
 
 
+def _snippet_true_sql(terms: list[str], window: int) -> str:
+    """Oracle for search_snippets: the _bm25_true_sql AND top-k, then
+    per hit the best W-token window — candidate starts are every
+    renumbered position p <= greatest(n - W + 1, 1), window score =
+    COUNT(DISTINCT query terms) inside [p, p + W - 1], best = highest
+    score then earliest start, snippet = ordered string_agg of the
+    window's tokens."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOKS},{_DL_STATS},
+tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ({inlist}) GROUP BY docid, term),
+dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
+cand AS (SELECT docid FROM tfs GROUP BY docid
+         HAVING COUNT(DISTINCT term) = (SELECT COUNT(*) FROM dfs)),
+scored AS (
+  SELECT t.docid,
+         SUM( ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+            * (((1.5 + 1.0) * t.tf) /
+               (1.5 * (1.0 - 0.75 + 0.75 * (l.doc_len / s.avg_dl)) + t.tf)) ) AS score
+  FROM tfs t
+  JOIN cand c ON c.docid = t.docid
+  JOIN dfs f ON f.term = t.term
+  JOIN dl l ON l.docid = t.docid
+  CROSS JOIN stats s
+  GROUP BY t.docid
+),
+topk AS (
+  SELECT docid,
+         CAST(row_number() OVER (ORDER BY score DESC, docid ASC) AS INTEGER) AS rank,
+         round(score, 6) AS score
+  FROM scored ORDER BY score DESC, docid ASC LIMIT 10
+),
+tokp AS (
+  SELECT docid, term,
+         row_number() OVER (PARTITION BY docid ORDER BY ord) AS pos
+  FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS docid,
+           unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS ord
+    FROM documents
+  ) WHERE term <> '' AND docid IN (SELECT docid FROM topk)
+),
+len AS (SELECT docid, COUNT(*) AS n FROM tokp GROUP BY docid),
+winh AS (
+  SELECT st.docid, st.pos AS s, COUNT(DISTINCT h.term) AS hits
+  FROM tokp st
+  JOIN len l ON l.docid = st.docid
+  LEFT JOIN tokp h ON h.docid = st.docid
+       AND h.pos BETWEEN st.pos AND st.pos + {window} - 1
+       AND h.term IN ({inlist})
+  WHERE st.pos <= greatest(l.n - {window} + 1, 1)
+  GROUP BY st.docid, st.pos
+),
+best AS (
+  SELECT docid, s, hits FROM (
+    SELECT docid, s, hits,
+           row_number() OVER (PARTITION BY docid ORDER BY hits DESC, s ASC) AS rn
+    FROM winh
+  ) WHERE rn = 1
+),
+snip AS (
+  SELECT b.docid, string_agg(t.term, ' ' ORDER BY t.pos) AS snippet
+  FROM best b
+  JOIN tokp t ON t.docid = b.docid
+       AND t.pos BETWEEN b.s AND b.s + {window} - 1
+  GROUP BY b.docid
+)
+SELECT k.docid, k.rank, k.score, CAST(b.hits AS INTEGER) AS n_hits, s.snippet
+FROM topk k
+JOIN best b ON b.docid = k.docid
+JOIN snip s ON s.docid = k.docid
+ORDER BY k.rank"""
+
+
 def _bm25_compat_sql(terms: list[str]) -> str:
     inlist = ", ".join(f"'{t}'" for t in terms)
     return f"""
@@ -1062,6 +1162,7 @@ FROM (SELECT CAST(doc_id AS VARCHAR) AS docid FROM documents)""",
         "ft_phrase": _phrase_true_sql(["fast", "key"]),
         "ft_proximity": _proximity_true_sql("fast", "key", 4),
         "ft_boolean": _boolean_true_sql(["merge", "spark"], ["join"]),
+        "ft_snippets": _snippet_true_sql(["spark", "join"], 10),
         "autocomplete_batch": f"""
 WITH {_TOKS},
 lex AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),

@@ -139,6 +139,16 @@ def main() -> None:
         "bm25_phrase",
         lambda: phrase_search(idx, ["fast", "key"], top_k=10).count(),
     )
+    from large_scale_hypertextual_search_engine_spark.operators.boolsearch import (
+        boolean_search,
+    )
+
+    timed(
+        "bm25_boolean",
+        lambda: boolean_search(
+            idx, "(spark OR merge) AND NOT join", top_k=10
+        ).count(),
+    )
     from large_scale_hypertextual_search_engine_spark.operators.wand import (
         wand_search_batch,
     )
@@ -179,6 +189,11 @@ def main() -> None:
     for _ in range(50):
         ssrv.search(["spark", "join"], top_k=10)
     extra["bm25_warm_single_ms"] = round((time.time() - t0) * 1000 / 50, 3)
+    ssrv.search_boolean("(spark OR merge) AND NOT join")  # cold fetch
+    t0 = time.time()
+    for _ in range(50):
+        ssrv.search_boolean("(spark OR merge) AND NOT join", top_k=10)
+    extra["boolean_warm_ms"] = round((time.time() - t0) * 1000 / 50, 3)
 
     # --- training-data ops ---
     raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

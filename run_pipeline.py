@@ -184,10 +184,32 @@ def cmd_search(args) -> None:
             idx, args.query, top_k=args.top_k, mode=args.mode,
             tf_mode=args.tf_mode, analyzer_mode=args.analyzer, stem=args.stem,
         )
+    if args.snippets_from:
+        from large_scale_hypertextual_search_engine_spark.operators.snippet import (
+            best_window_snippets,
+        )
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(args.snippets_from).select(
+            F.col(args.snippet_id_col).cast("string").alias("docid"),
+            F.col(args.snippet_text_col).alias("__text"),
+        )
+        res = best_window_snippets(
+            F.broadcast(res).join(docs, "docid"),
+            # snippet terms: the query's positive words (boolean mode
+            # includes operators in --query; highlight plain words only)
+            [w for w in args.query.replace('"', " ").replace("(", " ")
+                 .replace(")", " ").split()
+             if w.upper() not in ("AND", "OR", "NOT")],
+            window=args.snippet_window, text_col="__text",
+        ).drop("__text")
     rows = res.collect()
     wall = time.time() - t0
     for r in sorted(rows, key=lambda r: r["rank"]):
-        print(f"{r['rank']:3d}  {r['score']:12.6f}  {r['docid']}")
+        line = f"{r['rank']:3d}  {r['score']:12.6f}  {r['docid']}"
+        if args.snippets_from:
+            line += f"  | {r['snippet']}"
+        print(line)
     # the reference's Perfomance-monitor records every query's latency;
     # `stats --index` reads this back (metrics_tail / latency_stats)
     from large_scale_hypertextual_search_engine_spark.plans.lineage import (
@@ -579,6 +601,14 @@ def main() -> None:
         "--serve", action="store_true",
         help="warm in-memory serving path (SearchServer)",
     )
+    p.add_argument(
+        "--snippets-from", default=None, metavar="PARQUET",
+        help="corpus table to pull best-window result snippets from "
+             "(raw query words are highlighted; not with --serve)",
+    )
+    p.add_argument("--snippet-window", type=int, default=10)
+    p.add_argument("--snippet-id-col", default="docid")
+    p.add_argument("--snippet-text-col", default="content")
     p.set_defaults(fn=cmd_search)
 
     p = sub.add_parser(
