@@ -202,6 +202,22 @@ def q_ft_boolean(spark, sf_dir):
     )
 
 
+def q_boolean_batch(spark, sf_dir):
+    """boolean_search_batch: N boolean queries as one single-shuffle
+    job; per-query results row-identical to boolean_search."""
+    from large_scale_hypertextual_search_engine_spark.operators.boolsearch import (
+        boolean_search_batch,
+    )
+
+    qs = {1: "(spark OR merge) AND NOT join", 2: "spark AND join"}
+    res = boolean_search_batch(_index(spark, sf_dir), qs, top_k=10)
+    return res.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "docid", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_ft_snippets(spark, sf_dir):
     """BM25 AND top-10 for (spark, join) with best-window snippets:
     the 10-token window of each hit maximizing distinct query terms
@@ -771,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase": q_ft_phrase,
         "ft_proximity": q_ft_proximity,
         "ft_boolean": q_ft_boolean,
+        "boolean_batch": q_boolean_batch,
         "ft_snippets": q_ft_snippets,
         "ft_autocomplete": q_ft_autocomplete,
         "autocomplete_batch": q_autocomplete_batch,
@@ -1162,6 +1179,14 @@ FROM (SELECT CAST(doc_id AS VARCHAR) AS docid FROM documents)""",
         "ft_phrase": _phrase_true_sql(["fast", "key"]),
         "ft_proximity": _proximity_true_sql("fast", "key", 4),
         "ft_boolean": _boolean_true_sql(["merge", "spark"], ["join"]),
+        "boolean_batch": f"""
+SELECT CAST(1 AS INTEGER) AS query_id, * FROM (
+{_boolean_true_sql(["merge", "spark"], ["join"])}
+)
+UNION ALL
+SELECT CAST(2 AS INTEGER) AS query_id, * FROM (
+{_bm25_true_sql(["spark", "join"], "and")}
+)""",
         "ft_snippets": _snippet_true_sql(["spark", "join"], 10),
         "autocomplete_batch": f"""
 WITH {_TOKS},

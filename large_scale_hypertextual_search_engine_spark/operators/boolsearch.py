@@ -372,3 +372,171 @@ def boolean_search(
         .join(index["docid_map"], "doc_int")
         .select("rank", "doc_int", "docid", "score")
     )
+
+
+def boolean_search_batch(
+    index: dict[str, DataFrame],
+    queries: dict[int, str | Node],
+    top_k: int = 10,
+    tf_mode: str = "true",
+    k1: float = K1,
+    b: float = B,
+    analyze=None,
+) -> DataFrame:
+    """N boolean queries as ONE Spark job ->
+    (query_id, rank, doc_int, docid, score).
+
+    Same single-shuffle shape as ``phrase_search_batch``: the union of
+    all queries' terms decodes once (with positions only if ANY query
+    has a phrase leaf), candidates repartition by query_id so the
+    per-(doc, leaf) agg, the per-doc agg and the per-query top-k window
+    share one exchange. Each query's boolean expression and positive-
+    term filter compile into per-query branches of ONE ``CASE query_id``
+    Column — plan-time constants, so the whole filter stays in codegen.
+    Per-query results are row-identical to ``boolean_search`` (pytest).
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    parsed: dict[int, Node] = {}
+    ids_per_q: dict[int, dict[Node, int]] = {}
+    for qid, q in queries.items():
+        node = parse_query(q, analyze) if isinstance(q, str) else q
+        leaves = list(dict.fromkeys(_leaves(node)))
+        ids = {leaf: i for i, leaf in enumerate(leaves)}
+        if _eval_const(node, {i: False for i in ids.values()}, ids):
+            raise ValueError(
+                f"query {qid} would match documents containing none of "
+                "its terms; add a positive clause"
+            )
+        parsed[qid] = node
+        ids_per_q[qid] = ids
+
+    all_terms = sorted(
+        {
+            t
+            for ids in ids_per_q.values()
+            for l in ids
+            for t in (l.terms if isinstance(l, Phrase) else (l.term,))
+        }
+    )
+    has_phrase = any(
+        isinstance(l, Phrase) for ids in ids_per_q.values() for l in ids
+    )
+    n_docs, avg_dl = _stats(index)
+    spark = index["postings"].sparkSession
+
+    pruned = prune_buckets(index, all_terms)
+    decoded = (
+        decode_postings_positions_df(pruned, all_terms)
+        if has_phrase
+        else decode_postings_df(pruned, all_terms)
+    )
+
+    slot_rows = []
+    for qid, ids in ids_per_q.items():
+        for leaf, lid in ids.items():
+            terms = leaf.terms if isinstance(leaf, Phrase) else (leaf.term,)
+            slot_rows += [
+                (qid, lid, i, t, len(terms)) for i, t in enumerate(terms)
+            ]
+    slots = spark.createDataFrame(
+        slot_rows, "query_id long, leaf_id long, idx long, term string, m long"
+    )
+
+    doc_stats = index["doc_stats"].select("doc_int", "doc_len")
+    tf_eff = F.lit(1.0) if tf_mode == "compat" else F.col("tf").cast("double")
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cand = (
+        decoded.join(F.broadcast(slots), "term")
+        # the ONLY exchange: hash on query_id co-locates every
+        # (query, doc, leaf) group, every (query, doc) group AND the
+        # per-query top-k window partition
+        .repartition(npart, "query_id")
+        .join(doc_stats, "doc_int", "left")
+        .withColumn(
+            "dl",
+            F.coalesce(F.col("doc_len"), F.floor(F.lit(avg_dl))).cast("double"),
+        )
+        .withColumn(
+            "term_score",
+            bm25_score(
+                tf_eff, F.col("df"), F.col("dl"),
+                F.lit(float(n_docs)), F.lit(avg_dl), k1, b,
+            ),
+        )
+    )
+    if has_phrase:
+        cand = cand.withColumn(
+            "adj", F.transform("positions", lambda p: p - F.col("idx"))
+        )
+        items = F.sort_array(F.collect_list(F.struct("idx", "adj")))
+        starts = F.aggregate(
+            F.expr("slice(items, 2, size(items) - 1)"),
+            F.col("items")[0]["adj"],
+            lambda acc, x: F.array_intersect(acc, x["adj"]),
+        )
+        per_leaf = (
+            cand.groupBy("query_id", "doc_int", "leaf_id")
+            .agg(
+                F.count("*").alias("n_slots"),
+                F.max("m").alias("m"),
+                items.alias("items"),
+                F.collect_set(F.struct("term", "term_score")).alias("ts"),
+            )
+            .withColumn(
+                "matched",
+                (F.col("n_slots") == F.col("m"))
+                & ((F.col("m") == 1) | (F.size(starts) > 0)),
+            )
+        )
+    else:
+        per_leaf = cand.groupBy("query_id", "doc_int", "leaf_id").agg(
+            F.collect_set(F.struct("term", "term_score")).alias("ts"),
+        ).withColumn("matched", F.lit(True))
+
+    per_doc = per_leaf.groupBy("query_id", "doc_int").agg(
+        F.collect_set(F.when(F.col("matched"), F.col("leaf_id"))).alias(
+            "present"
+        ),
+        F.array_distinct(F.flatten(F.collect_list("ts"))).alias("all_ts"),
+    )
+
+    # one CASE query_id dispatch for the boolean filter...
+    match_expr = F.lit(False)
+    for qid, node in parsed.items():
+        match_expr = F.when(
+            F.col("query_id") == qid,
+            _compile(node, ids_per_q[qid], F.col("present")),
+        ).otherwise(match_expr)
+    # ...and one for the per-query positive-term score filter
+    # unreachable base (every row's query_id is in `parsed`), typed via all_ts
+    pos_expr = F.filter(F.col("all_ts"), lambda x: F.lit(False))
+    for qid, node in parsed.items():
+        positive = sorted(_positive_terms(node))
+        pos_expr = F.when(
+            F.col("query_id") == qid,
+            F.filter(
+                F.col("all_ts"),
+                lambda x: x["term"].isin(positive) if positive else F.lit(False),
+            ),
+        ).otherwise(pos_expr)
+
+    matched_docs = per_doc.filter(match_expr).withColumn(
+        "score",
+        F.aggregate(
+            F.sort_array(F.transform(pos_expr, lambda x: x["term_score"])),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_int"))
+    topk = (
+        matched_docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "rank", "doc_int", "score")
+    )
+    return (
+        F.broadcast(topk)
+        .join(index["docid_map"], "doc_int")
+        .select("query_id", "rank", "doc_int", "docid", "score")
+    )

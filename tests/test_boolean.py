@@ -284,3 +284,72 @@ def test_served_boolean_small_cache(spark, simple_index):
     got = {r["docid"] for r in srv.search_boolean(
         "(spark OR merge) AND (join OR window)", top_k=10)}
     assert got == expect and got
+
+
+# --------------------------------------------------------------- batch
+
+
+def test_batch_matches_single(spark, simple_index):
+    from large_scale_hypertextual_search_engine_spark.operators.boolsearch import (
+        boolean_search_batch,
+    )
+
+    idx, _ = simple_index
+    qs = {
+        1: "spark AND join",
+        2: "(spark OR merge) AND NOT join",
+        3: '"fast key" AND NOT spark',
+        4: "merge OR window",
+        5: "spark AND zzzmissingterm",
+    }
+    got = {}
+    for r in boolean_search_batch(idx, qs, top_k=10).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_int"], r["docid"], r["score"])
+        )
+    for qid, q in qs.items():
+        want = sorted(
+            (r["rank"], r["doc_int"], r["docid"], r["score"])
+            for r in boolean_search(idx, q, top_k=10).collect()
+        )
+        assert sorted(got.get(qid, [])) == want, (qid, q)
+    assert 5 not in got  # missing term fails the AND -> no rows
+
+
+def test_batch_rejects_negative_only(spark, simple_index):
+    from large_scale_hypertextual_search_engine_spark.operators.boolsearch import (
+        boolean_search_batch,
+    )
+
+    idx, _ = simple_index
+    with pytest.raises(ValueError, match="query 2"):
+        boolean_search_batch(idx, {1: "spark", 2: "NOT spark"})
+
+
+def test_batch_plan_single_exchange(spark, tmp_path_factory):
+    import re
+    from large_scale_hypertextual_search_engine_spark.operators.boolsearch import (
+        boolean_search_batch,
+    )
+    from large_scale_hypertextual_search_engine_spark.plans.lineage import (
+        build_and_save_index, load_index,
+    )
+
+    out = str(tmp_path_factory.mktemp("boolbatchidx"))
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("cast(doc_id as string) as docid", "text as content")
+        .limit(120)
+    )
+    build_and_save_index(docs, out, "bool-batch-plan", mode="simple", stem=False)
+    idx = load_index(spark, out)
+    qs = {1: "the AND NOT of", 2: '"the and" OR of'}
+    plan = (
+        boolean_search_batch(idx, qs, top_k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"MapInPandas", plan)) == 1, plan
+    assert len(re.findall(r"REPARTITION_BY_NUM", plan)) == 1, plan
+    assert "SortMergeJoin" not in plan, plan
