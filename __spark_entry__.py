@@ -202,6 +202,29 @@ def q_ft_boolean(spark, sf_dir):
     )
 
 
+def q_ft_bm25_filtered(spark, sf_dir):
+    """Filtered retrieval: the ft_bm25_and query restricted to the
+    doc_id % 3 == 0 corpus slice. Global collection stats (df, n_docs,
+    avg_dl) — surviving docs keep their unfiltered scores, membership
+    and ranks change."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flt = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").cast("string").alias("docid")
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.query import (
+        search,
+    )
+
+    res = search(
+        _index(spark, sf_dir), ["spark", "join"], top_k=10, mode="and",
+        tf_mode="true", doc_filter=flt,
+    )
+    return res.select(
+        "docid", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_boolean_batch(spark, sf_dir):
     """boolean_search_batch: N boolean queries as one single-shuffle
     job; per-query results row-identical to boolean_search."""
@@ -781,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_docid_map": q_ft_docid_map,
         "ft_bm25_single": q_ft_bm25_single,
         "ft_bm25_and": q_ft_bm25_and,
+        "ft_bm25_filtered": q_ft_bm25_filtered,
         "ft_bm25_and_compat": q_ft_bm25_and_compat,
         "ft_bm25_or": q_ft_bm25_or,
         "ft_bm25_wand": q_ft_bm25_wand,
@@ -968,6 +992,40 @@ SELECT docid,
        CAST(row_number() OVER (ORDER BY score DESC, docid ASC) AS INTEGER) AS rank,
        round(score, 6) AS score,
        CAST(min_dist AS BIGINT) AS min_dist
+FROM scored
+ORDER BY score DESC, docid ASC
+LIMIT 10"""
+
+
+def _bm25_filtered_sql(terms: list[str], pred: str) -> str:
+    """Oracle for filtered retrieval: dfs stay GLOBAL (computed before
+    the filter), candidate membership and scoring restrict to documents
+    satisfying ``pred`` (a SQL predicate over the documents table)."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOKS},{_DL_STATS},
+tfs0 AS (SELECT docid, term, COUNT(*) AS tf FROM toks
+         WHERE term IN ({inlist}) GROUP BY docid, term),
+dfs AS (SELECT term, COUNT(*) AS df FROM tfs0 GROUP BY term),
+flt AS (SELECT CAST(doc_id AS VARCHAR) AS docid FROM documents WHERE {pred}),
+tfs AS (SELECT t.* FROM tfs0 t JOIN flt ON flt.docid = t.docid),
+cand AS (SELECT docid FROM tfs GROUP BY docid
+         HAVING COUNT(DISTINCT term) = (SELECT COUNT(*) FROM dfs)),
+scored AS (
+  SELECT t.docid,
+         SUM( ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+            * (((1.5 + 1.0) * t.tf) /
+               (1.5 * (1.0 - 0.75 + 0.75 * (l.doc_len / s.avg_dl)) + t.tf)) ) AS score
+  FROM tfs t
+  JOIN cand c ON c.docid = t.docid
+  JOIN dfs f ON f.term = t.term
+  JOIN dl l ON l.docid = t.docid
+  CROSS JOIN stats s
+  GROUP BY t.docid
+)
+SELECT docid,
+       CAST(row_number() OVER (ORDER BY score DESC, docid ASC) AS INTEGER) AS rank,
+       round(score, 6) AS score
 FROM scored
 ORDER BY score DESC, docid ASC
 LIMIT 10"""
@@ -1173,6 +1231,9 @@ FROM (SELECT CAST(doc_id AS VARCHAR) AS docid FROM documents)""",
         "ft_bm25_single": _bm25_true_sql(["spark"], "and"),
         "ft_bm25_and": _bm25_true_sql(["spark", "join"], "and"),
         "ft_bm25_and_compat": _bm25_compat_sql(["spark", "join"]),
+        "ft_bm25_filtered": _bm25_filtered_sql(
+            ["spark", "join"], "doc_id % 3 = 0"
+        ),
         "ft_bm25_or": _bm25_true_sql(["merge", "window"], "or"),
         # WAND is exact top-k: the oracle is the same SQL as ft_bm25_or
         "ft_bm25_wand": _bm25_true_sql(["merge", "window"], "or"),

@@ -136,12 +136,24 @@ def search_batch(
     k1: float = K1,
     b: float = B,
     terms: list[str] | None = None,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Score a batch of queries as ONE Spark job.
 
     ``queries``: (query_id: long, term: string), one row per query term.
     Pass ``terms`` (the distinct term list) when already known to skip a
     driver round-trip. Returns (query_id, rank, doc_int, docid, score).
+
+    ``doc_filter`` restricts results to a document subset (filtered
+    retrieval: per-tenant corpora, language slices, date ranges...) —
+    a DataFrame with a ``doc_int`` column, or a ``docid`` column which
+    is mapped through docid_map. Collection statistics (df, n_docs,
+    avg_dl) stay GLOBAL — surviving docs keep their unfiltered scores,
+    only membership and therefore ranks change (the standard filtered-
+    search semantics, oracle-checked). The restriction is a semi-join
+    applied to the decoded candidates BEFORE the scoring shuffle, so a
+    selective filter shrinks the one wide exchange; Catalyst/AQE picks
+    broadcast vs shuffle join by the filter's size.
     """
     n_docs, avg_dl = _stats(index)
     # a repeated (query_id, term) row would double-count that term's
@@ -152,6 +164,15 @@ def search_batch(
     if terms is None:
         terms = [r["term"] for r in queries.select("term").distinct().collect()]
     decoded = decode_postings_df(prune_buckets(index, terms), terms)
+    if doc_filter is not None:
+        if "doc_int" not in doc_filter.columns:
+            doc_filter = (
+                doc_filter.select(F.col("docid").cast("string").alias("docid"))
+                .join(index["docid_map"], "docid")
+            )
+        decoded = decoded.join(
+            doc_filter.select("doc_int").distinct(), "doc_int", "semi"
+        )
 
     # ONE shuffle for the whole scoring pipeline: repartitioning the
     # candidates by query_id up front satisfies the clustering of BOTH
@@ -228,16 +249,19 @@ def search(
     tf_mode: str = "true",
     k1: float = K1,
     b: float = B,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
-    """Single query -> (rank, doc_int, docid, score)."""
+    """Single query -> (rank, doc_int, docid, score). ``doc_filter``:
+    see search_batch."""
     spark = index["postings"].sparkSession
     uniq = list(dict.fromkeys(terms))
     q = spark.createDataFrame(
         [(0, t) for t in uniq], "query_id long, term string"
     )
-    return search_batch(index, q, top_k, mode, tf_mode, k1, b, terms=uniq).drop(
-        "query_id"
-    )
+    return search_batch(
+        index, q, top_k, mode, tf_mode, k1, b, terms=uniq,
+        doc_filter=doc_filter,
+    ).drop("query_id")
 
 
 class SemanticExpander:
@@ -263,6 +287,7 @@ def search_text(
     analyzer_mode: str = "compat",
     stem: bool = True,
     expander: SemanticExpander | None = None,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Analyze a raw query string with the same analyzer as indexing
     (the reference's query tokenizer skips stemming and never matches a
@@ -277,4 +302,4 @@ def search_text(
         terms = [t.term for t in tokenize_compat(query, stem=stem)]
     if expander is not None:
         terms = expander.expand_query(terms, 2)
-    return search(index, terms, top_k, mode, tf_mode)
+    return search(index, terms, top_k, mode, tf_mode, doc_filter=doc_filter)

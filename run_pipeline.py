@@ -180,9 +180,20 @@ def cmd_search(args) -> None:
             terms = [t.term for t in tokenize_compat(args.query, stem=args.stem)]
         res = wand_search(idx, terms, top_k=args.top_k, tf_mode=args.tf_mode)
     else:
+        doc_filter = None
+        if args.filter_from:
+            from pyspark.sql import functions as F
+
+            doc_filter = spark.read.parquet(args.filter_from)
+            if args.filter_where:
+                doc_filter = doc_filter.filter(args.filter_where)
+            doc_filter = doc_filter.select(
+                F.col(args.filter_id_col).cast("string").alias("docid")
+            )
         res = search_text(
             idx, args.query, top_k=args.top_k, mode=args.mode,
             tf_mode=args.tf_mode, analyzer_mode=args.analyzer, stem=args.stem,
+            doc_filter=doc_filter,
         )
     if args.snippets_from:
         from large_scale_hypertextual_search_engine_spark.operators.snippet import (
@@ -601,6 +612,16 @@ def main() -> None:
         "--serve", action="store_true",
         help="warm in-memory serving path (SearchServer)",
     )
+    p.add_argument(
+        "--filter-from", default=None, metavar="PARQUET",
+        help="filtered retrieval: restrict results to docids in this "
+             "table (exact path only; global stats, ranks recomputed)",
+    )
+    p.add_argument(
+        "--filter-where", default=None, metavar="SQL",
+        help="optional predicate applied to --filter-from before use",
+    )
+    p.add_argument("--filter-id-col", default="docid")
     p.add_argument(
         "--snippets-from", default=None, metavar="PARQUET",
         help="corpus table to pull best-window result snippets from "

@@ -197,3 +197,40 @@ def test_search_batch_duplicate_terms_dedupe(spark, indexes):
         )
         assert got == want, mode
         assert len(want) > 0, mode
+
+
+def test_search_doc_filter(spark, indexes):
+    """Filtered retrieval: result = unfiltered result restricted to the
+    filter set with ranks recomputed; scores of surviving docs are
+    unchanged (global df/n_docs/avg_dl)."""
+    idx, _ = indexes
+    terms = ["spark", "join"]
+    full = search(idx, terms, top_k=10**6, mode="and").collect()
+    keep = {r["docid"] for r in full if int(r["docid"]) % 3 == 0}
+    flt = spark.createDataFrame([(d,) for d in keep], "docid string")
+    got = search(idx, terms, top_k=10**6, mode="and", doc_filter=flt).collect()
+    assert {r["docid"] for r in got} == keep
+    full_scores = {r["docid"]: r["score"] for r in full}
+    for r in got:
+        assert r["score"] == full_scores[r["docid"]], r["docid"]
+    # ranks are dense 1..n over the survivors, same (score, doc) order
+    want_order = [
+        r["docid"] for r in sorted(full, key=lambda r: r["rank"])
+        if r["docid"] in keep
+    ]
+    got_order = [r["docid"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert got_order == want_order
+    assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == list(
+        range(1, len(keep) + 1)
+    )
+
+
+def test_search_doc_filter_by_doc_int_and_empty(spark, indexes):
+    idx, _ = indexes
+    some = idx["docid_map"].limit(50).select("doc_int")
+    got = search(idx, ["the"], top_k=10**6, doc_filter=some).collect()
+    kept = {r["doc_int"] for r in some.collect()}
+    assert {r["doc_int"] for r in got} <= kept
+    assert got  # 'the' is near-universal, the slice must hit
+    empty = spark.createDataFrame([], "docid string")
+    assert search(idx, ["the"], doc_filter=empty).count() == 0
