@@ -202,6 +202,26 @@ def q_ft_boolean(spark, sf_dir):
     )
 
 
+def q_ft_boolean_near(spark, sf_dir):
+    """Boolean query with an ORDERED proximity leaf:
+    "fast PRE/4 key AND NOT merge" — docs where some occurrence of
+    "key" follows "fast" within 4 positions and "merge" is absent,
+    scored as BM25 over the positive terms {fast, key}. Exercises the
+    NEAR/PRE windowed-intersection slot encoding in the boolean
+    evaluator (unordered NEAR is oracle-covered by ft_proximity)."""
+    from large_scale_hypertextual_search_engine_spark.operators.boolsearch import (
+        boolean_search,
+    )
+
+    res = boolean_search(
+        _index(spark, sf_dir), "fast PRE/4 key AND NOT merge", top_k=10
+    )
+    return res.select(
+        "docid", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_ft_bm25_filtered(spark, sf_dir):
     """Filtered retrieval: the ft_bm25_and query restricted to the
     doc_id % 3 == 0 corpus slice. Global collection stats (df, n_docs,
@@ -811,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase": q_ft_phrase,
         "ft_proximity": q_ft_proximity,
         "ft_boolean": q_ft_boolean,
+        "ft_boolean_near": q_ft_boolean_near,
         "boolean_batch": q_boolean_batch,
         "ft_snippets": q_ft_snippets,
         "ft_autocomplete": q_ft_autocomplete,
@@ -1011,6 +1032,59 @@ flt AS (SELECT CAST(doc_id AS VARCHAR) AS docid FROM documents WHERE {pred}),
 tfs AS (SELECT t.* FROM tfs0 t JOIN flt ON flt.docid = t.docid),
 cand AS (SELECT docid FROM tfs GROUP BY docid
          HAVING COUNT(DISTINCT term) = (SELECT COUNT(*) FROM dfs)),
+scored AS (
+  SELECT t.docid,
+         SUM( ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+            * (((1.5 + 1.0) * t.tf) /
+               (1.5 * (1.0 - 0.75 + 0.75 * (l.doc_len / s.avg_dl)) + t.tf)) ) AS score
+  FROM tfs t
+  JOIN cand c ON c.docid = t.docid
+  JOIN dfs f ON f.term = t.term
+  JOIN dl l ON l.docid = t.docid
+  CROSS JOIN stats s
+  GROUP BY t.docid
+)
+SELECT docid,
+       CAST(row_number() OVER (ORDER BY score DESC, docid ASC) AS INTEGER) AS rank,
+       round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, docid ASC
+LIMIT 10"""
+
+
+def _boolean_near_sql(a: str, b: str, slop: int, neg: str) -> str:
+    """Oracle for a boolean query with an ORDERED proximity leaf:
+    ``a PRE/slop b AND NOT neg``. Membership: some occurrence pair with
+    1 <= pos_b - pos_a <= slop (renumbered 1-based positions — the base
+    shift cancels in the difference) and ``neg`` absent. Score: the
+    _bm25_true_sql fold over the positive terms {a, b} (the negated
+    term gates membership, never the score)."""
+    return f"""
+WITH {_TOKS},{_DL_STATS},
+tokp AS (
+  SELECT docid, term,
+         row_number() OVER (PARTITION BY docid ORDER BY ord) AS pos
+  FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS docid,
+           unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS ord
+    FROM documents
+  ) WHERE term <> ''
+),
+pd AS (
+  SELECT DISTINCT ta.docid
+  FROM tokp ta
+  JOIN tokp tb ON tb.docid = ta.docid
+  WHERE ta.term = '{a}' AND tb.term = '{b}'
+    AND tb.pos - ta.pos BETWEEN 1 AND {slop}
+),
+cand AS (
+  SELECT docid FROM pd
+  WHERE docid NOT IN (SELECT DISTINCT docid FROM toks WHERE term = '{neg}')
+),
+tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ('{a}', '{b}') GROUP BY docid, term),
+dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
 scored AS (
   SELECT t.docid,
          SUM( ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
@@ -1240,6 +1314,7 @@ FROM (SELECT CAST(doc_id AS VARCHAR) AS docid FROM documents)""",
         "ft_phrase": _phrase_true_sql(["fast", "key"]),
         "ft_proximity": _proximity_true_sql("fast", "key", 4),
         "ft_boolean": _boolean_true_sql(["merge", "spark"], ["join"]),
+        "ft_boolean_near": _boolean_near_sql("fast", "key", 4, "merge"),
         "boolean_batch": f"""
 SELECT CAST(1 AS INTEGER) AS query_id, * FROM (
 {_boolean_true_sql(["merge", "spark"], ["join"])}

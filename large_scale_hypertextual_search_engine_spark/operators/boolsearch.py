@@ -9,7 +9,8 @@ descent parser for
     query   := or
     or      := and (OR and)*
     and     := not ((AND)? not)*          -- adjacency is implicit AND
-    not     := NOT not | atom
+    not     := NOT not | prox
+    prox    := atom ((NEAR/k | PRE/k) atom)?   -- term operands only
     atom    := '(' query ')' | '"' phrase '"' | term
 
 (keywords case-insensitive; quoted phrases use the positional index,
@@ -49,6 +50,7 @@ filter, no per-leaf subquery joins, no N-way intersection shuffles. At
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from functools import reduce
 
@@ -72,6 +74,17 @@ class Phrase:
 
 
 @dataclass(frozen=True)
+class Near:
+    """Proximity leaf: ``a NEAR/k b`` (unordered, |pos_b - pos_a| <= k)
+    or ``a PRE/k b`` (ordered, 1 <= pos_b - pos_a <= k)."""
+
+    a: str
+    b: str
+    slop: int
+    ordered: bool = False
+
+
+@dataclass(frozen=True)
 class Not:
     child: "Node"
 
@@ -86,7 +99,7 @@ class Or:
     children: tuple["Node", ...]
 
 
-Node = Term | Phrase | Not | And | Or
+Node = Term | Phrase | Near | Not | And | Or
 
 _KEYWORDS = {"and": "AND", "or": "OR", "not": "NOT"}
 
@@ -116,8 +129,13 @@ def _lex(q: str) -> list[tuple[str, str]]:
             while j < n and not q[j].isspace() and q[j] not in '()"':
                 j += 1
             word = q[i:j]
-            kind = _KEYWORDS.get(word.lower(), "TERM")
-            toks.append((kind, word))
+            mprox = re.fullmatch(r"(near|pre)/(\d+)", word.lower())
+            if mprox:
+                toks.append(
+                    ("NEAR", (int(mprox.group(2)), mprox.group(1) == "pre"))
+                )
+            else:
+                toks.append((_KEYWORDS.get(word.lower(), "TERM"), word))
             i = j
     return toks
 
@@ -167,11 +185,25 @@ def parse_query(q: str, analyze=None) -> Node:
             return Term(terms[0]) if len(terms) == 1 else Phrase(tuple(terms))
         raise ValueError(f"unexpected {val!r}")
 
+    def p_prox() -> Node:
+        left = p_atom()
+        if peek() != "NEAR":
+            return left
+        _, (slop, ordered) = take()
+        right = p_atom()
+        for side in (left, right):
+            if not isinstance(side, Term):
+                raise ValueError(
+                    "NEAR/PRE operands must be single terms, got "
+                    f"{type(side).__name__}"
+                )
+        return Near(left.term, right.term, slop, ordered)
+
     def p_not() -> Node:
         if peek() == "NOT":
             take()
             return Not(p_not())
-        return p_atom()
+        return p_prox()
 
     def p_and() -> Node:
         children = [p_not()]
@@ -204,8 +236,8 @@ def parse_query(q: str, analyze=None) -> Node:
 # ------------------------------------------------------------ analysis
 
 
-def _leaves(node: Node) -> list[Term | Phrase]:
-    if isinstance(node, (Term, Phrase)):
+def _leaves(node: Node) -> list["Term | Phrase | Near"]:
+    if isinstance(node, (Term, Phrase, Near)):
         return [node]
     if isinstance(node, Not):
         return _leaves(node.child)
@@ -218,13 +250,15 @@ def _positive_terms(node: Node, neg: bool = False) -> set[str]:
         return set() if neg else {node.term}
     if isinstance(node, Phrase):
         return set() if neg else set(node.terms)
+    if isinstance(node, Near):
+        return set() if neg else {node.a, node.b}
     if isinstance(node, Not):
         return _positive_terms(node.child, not neg)
     return set().union(*(_positive_terms(c, neg) for c in node.children))
 
 
 def _eval_const(node: Node, truth: dict[int, bool], ids: dict[Node, int]) -> bool:
-    if isinstance(node, (Term, Phrase)):
+    if isinstance(node, (Term, Phrase, Near)):
         return truth[ids[node]]
     if isinstance(node, Not):
         return not _eval_const(node.child, truth, ids)
@@ -233,13 +267,40 @@ def _eval_const(node: Node, truth: dict[int, bool], ids: dict[Node, int]) -> boo
 
 
 def _compile(node: Node, ids: dict[Node, int], present: Column) -> Column:
-    if isinstance(node, (Term, Phrase)):
+    if isinstance(node, (Term, Phrase, Near)):
         return F.array_contains(present, F.lit(ids[node]))
     if isinstance(node, Not):
         return ~_compile(node.child, ids, present)
     cols = [_compile(c, ids, present) for c in node.children]
     op = (lambda a, b: a & b) if isinstance(node, And) else (lambda a, b: a | b)
     return reduce(op, cols)
+
+
+def _leaf_terms(leaf) -> tuple[str, ...]:
+    if isinstance(leaf, Phrase):
+        return leaf.terms
+    if isinstance(leaf, Near):
+        return (leaf.a, leaf.b)
+    return (leaf.term,)
+
+
+def _slot_rows(leaf, lid: int) -> list[tuple]:
+    """-> [(leaf_id, idx, term, m, lo, hi)]: per-slot token-position
+    windows such that a multi-slot leaf matches a document iff the
+    intersection of its slots' shifted-window position arrays is
+    non-empty. Phrase slot i contributes {p - i} (survivors are the
+    phrase start positions); NEAR/k expands the left term to
+    [p - k, p + k] (PRE/k: [p + 1, p + k]) against the right term's
+    raw positions — one mechanism covers adjacency and proximity."""
+    if isinstance(leaf, Phrase):
+        return [
+            (lid, i, t, len(leaf.terms), -i, -i)
+            for i, t in enumerate(leaf.terms)
+        ]
+    if isinstance(leaf, Near):
+        lo, hi = (1, leaf.slop) if leaf.ordered else (-leaf.slop, leaf.slop)
+        return [(lid, 0, leaf.a, 2, lo, hi), (lid, 1, leaf.b, 2, 0, 0)]
+    return [(lid, 0, leaf.term, 1, 0, 0)]
 
 
 # ----------------------------------------------------------- evaluator
@@ -272,26 +333,24 @@ def boolean_search(
         )
 
     positive = sorted(_positive_terms(node))
-    all_terms = sorted({t for l in leaves for t in
-                        (l.terms if isinstance(l, Phrase) else (l.term,))})
-    has_phrase = any(isinstance(l, Phrase) for l in leaves)
+    all_terms = sorted({t for l in leaves for t in _leaf_terms(l)})
+    has_positional = any(isinstance(l, (Phrase, Near)) for l in leaves)
     n_docs, avg_dl = _stats(index)
     spark = index["postings"].sparkSession
 
     pruned = prune_buckets(index, all_terms)
     decoded = (
         decode_postings_positions_df(pruned, all_terms)
-        if has_phrase
+        if has_positional
         else decode_postings_df(pruned, all_terms)
     )
 
-    # (leaf_id, slot idx, term): Term leaves are 1-slot "phrases"
+    # (leaf_id, slot idx, term, m, window): Term leaves are 1-slot leaves
     slot_rows = []
     for leaf, lid in ids.items():
-        terms = leaf.terms if isinstance(leaf, Phrase) else (leaf.term,)
-        slot_rows += [(lid, i, t, len(terms)) for i, t in enumerate(terms)]
+        slot_rows += _slot_rows(leaf, lid)
     slots = spark.createDataFrame(
-        slot_rows, "leaf_id long, idx long, term string, m long"
+        slot_rows, "leaf_id long, idx long, term string, m long, lo long, hi long"
     )
 
     doc_stats = index["doc_stats"].select("doc_int", "doc_len")
@@ -315,9 +374,15 @@ def boolean_search(
             ),
         )
     )
-    if has_phrase:
+    if has_positional:
         cand = cand.withColumn(
-            "adj", F.transform("positions", lambda p: p - F.col("idx"))
+            "adj",
+            F.flatten(
+                F.transform(
+                    "positions",
+                    lambda p: F.sequence(p + F.col("lo"), p + F.col("hi")),
+                )
+            ),
         )
         items = F.sort_array(F.collect_list(F.struct("idx", "adj")))
         starts = F.aggregate(
@@ -412,15 +477,10 @@ def boolean_search_batch(
         ids_per_q[qid] = ids
 
     all_terms = sorted(
-        {
-            t
-            for ids in ids_per_q.values()
-            for l in ids
-            for t in (l.terms if isinstance(l, Phrase) else (l.term,))
-        }
+        {t for ids in ids_per_q.values() for l in ids for t in _leaf_terms(l)}
     )
-    has_phrase = any(
-        isinstance(l, Phrase) for ids in ids_per_q.values() for l in ids
+    has_positional = any(
+        isinstance(l, (Phrase, Near)) for ids in ids_per_q.values() for l in ids
     )
     n_docs, avg_dl = _stats(index)
     spark = index["postings"].sparkSession
@@ -428,19 +488,18 @@ def boolean_search_batch(
     pruned = prune_buckets(index, all_terms)
     decoded = (
         decode_postings_positions_df(pruned, all_terms)
-        if has_phrase
+        if has_positional
         else decode_postings_df(pruned, all_terms)
     )
 
     slot_rows = []
     for qid, ids in ids_per_q.items():
         for leaf, lid in ids.items():
-            terms = leaf.terms if isinstance(leaf, Phrase) else (leaf.term,)
-            slot_rows += [
-                (qid, lid, i, t, len(terms)) for i, t in enumerate(terms)
-            ]
+            slot_rows += [(qid, *row) for row in _slot_rows(leaf, lid)]
     slots = spark.createDataFrame(
-        slot_rows, "query_id long, leaf_id long, idx long, term string, m long"
+        slot_rows,
+        "query_id long, leaf_id long, idx long, term string, m long, "
+        "lo long, hi long",
     )
 
     doc_stats = index["doc_stats"].select("doc_int", "doc_len")
@@ -465,9 +524,15 @@ def boolean_search_batch(
             ),
         )
     )
-    if has_phrase:
+    if has_positional:
         cand = cand.withColumn(
-            "adj", F.transform("positions", lambda p: p - F.col("idx"))
+            "adj",
+            F.flatten(
+                F.transform(
+                    "positions",
+                    lambda p: F.sequence(p + F.col("lo"), p + F.col("hi")),
+                )
+            ),
         )
         items = F.sort_array(F.collect_list(F.struct("idx", "adj")))
         starts = F.aggregate(

@@ -80,6 +80,33 @@ def _phrase_match(phrase, pos):
     return np.unique(docs[grp_start[full]], return_counts=True)
 
 
+def _near_match(pos, a, b, lo, hi):
+    """Proximity match -> sorted unique docs containing an occurrence
+    pair (pa of ``a``, pb of ``b``) with ``lo <= pb - pa <= hi``
+    (unordered NEAR/k: lo=-k hi=k; ordered PRE/k: lo=1 hi=k). Numpy
+    mirror of the boolsearch windowed-intersection slot encoding: per b
+    occurrence, a searchsorted range-count of a-positions inside
+    [pb - hi, pb - lo] over a composite (doc << 32 | position) key —
+    valid because posting lists are doc-sorted and position lists
+    ascend within a doc, so the composite key is globally sorted."""
+    if a not in pos or b not in pos:
+        return _EMPTY
+    _dfa, docs_a, tfs_a, pos_a = pos[a]
+    _dfb, docs_b, tfs_b, pos_b = pos[b]
+    if pos_a.size == 0 or pos_b.size == 0:
+        return _EMPTY
+    shift = np.int64(1) << np.int64(32)
+    key_a = np.repeat(docs_a, tfs_a).astype(np.int64) * shift + pos_a
+    docs_bf = np.repeat(docs_b, tfs_b).astype(np.int64)
+    hi_pa = pos_b.astype(np.int64) - lo  # highest qualifying a-position
+    lo_pa = np.maximum(pos_b.astype(np.int64) - hi, 0)
+    valid = hi_pa >= 0
+    cnt = np.searchsorted(
+        key_a, docs_bf * shift + hi_pa, side="right"
+    ) - np.searchsorted(key_a, docs_bf * shift + lo_pa, side="left")
+    return np.unique(docs_bf[valid & (cnt > 0)])
+
+
 def _sorted_member(haystack, needles):
     """Boolean membership of ``needles`` in SORTED unique ``haystack``."""
     if haystack.size == 0:
@@ -338,10 +365,12 @@ class SearchServer:
 
         from .boolsearch import (
             And,
+            Near,
             Not,
             Phrase,
             Term,
             _eval_const,
+            _leaf_terms,
             _leaves,
             _positive_terms,
             parse_query,
@@ -357,15 +386,20 @@ class SearchServer:
             )
         positive = sorted(_positive_terms(node))
         phrase_terms = sorted(
-            {t for l in leaves if isinstance(l, Phrase) for t in l.terms}
+            {
+                t
+                for l in leaves
+                if isinstance(l, (Phrase, Near))
+                for t in _leaf_terms(l)
+            }
         )
         flat_terms = sorted(
             {l.term for l in leaves if isinstance(l, Term)}
             - set(phrase_terms)
         )
-        # one positions job for phrase terms, one cached fetch for the
-        # rest; phrase-term (df, docids, tfs) reused for scoring so no
-        # term is decoded twice
+        # one positions job for phrase/proximity terms, one cached fetch
+        # for the rest; positional-term (df, docids, tfs) reused for
+        # scoring so no term is decoded twice
         pos = self._fetch_positions(phrase_terms) if phrase_terms else {}
         entries = {t: e[:3] for t, e in pos.items()}
         for t, e in self._fetch(flat_terms).items():
@@ -377,6 +411,11 @@ class SearchServer:
                 leaf_docs.append(
                     entries.get(leaf.term, (0, _EMPTY, _EMPTY))[1]
                 )
+            elif isinstance(leaf, Near):
+                lo, hi = (
+                    (1, leaf.slop) if leaf.ordered else (-leaf.slop, leaf.slop)
+                )
+                leaf_docs.append(_near_match(pos, leaf.a, leaf.b, lo, hi))
             else:
                 leaf_docs.append(_phrase_match(list(leaf.terms), pos)[0])
         nonempty = [d for d in leaf_docs if d.size]
@@ -386,7 +425,7 @@ class SearchServer:
         member = [_sorted_member(d, cand) for d in leaf_docs]
 
         def ev(n):
-            if isinstance(n, (Term, Phrase)):
+            if isinstance(n, (Term, Phrase, Near)):
                 return member[ids[n]]
             if isinstance(n, Not):
                 return ~ev(n.child)

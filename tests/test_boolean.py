@@ -7,6 +7,7 @@ import pytest
 
 from large_scale_hypertextual_search_engine_spark.operators.boolsearch import (
     And,
+    Near,
     Not,
     Or,
     Phrase,
@@ -68,6 +69,30 @@ def test_parse_single_word_phrase_is_term():
 
 def test_parse_errors():
     for bad in ["", "(a OR b", 'a "unterminated', "a )", "a OR", "AND a"]:
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+def test_parse_near_pre():
+    assert parse_query("a NEAR/3 b") == Near("a", "b", 3, ordered=False)
+    assert parse_query("a pre/2 b") == Near("a", "b", 2, ordered=True)
+    # binds tighter than AND/NOT, looser than atoms
+    assert parse_query("x AND a NEAR/3 b") == And(
+        (Term("x"), Near("a", "b", 3))
+    )
+    assert parse_query("NOT a NEAR/3 b OR c") == Or(
+        (Not(Near("a", "b", 3)), Term("c"))
+    )
+
+
+def test_parse_near_errors():
+    for bad in [
+        '"x y" NEAR/2 b',      # phrase operand
+        "a NEAR/2 (b OR c)",   # grouped operand
+        "a NEAR/2",            # missing right operand
+        "NEAR/2 b",            # missing left operand
+        "a NEAR/2 b NEAR/2 c", # chaining unsupported
+    ]:
         with pytest.raises(ValueError):
             parse_query(bad)
 
@@ -183,6 +208,89 @@ def test_phrase_atom_matches_phrase_operator(spark, simple_index):
     assert got
 
 
+def _brute_prox(docs, a, b, slop, ordered):
+    """docids with an occurrence pair of (a, b) within the window."""
+    out = set()
+    for r in docs.collect():
+        toks = [t for t in r["content"].split(" ") if t]
+        pa = [i for i, t in enumerate(toks) if t == a]
+        pb = [i for i, t in enumerate(toks) if t == b]
+        if ordered:
+            ok = any(1 <= q - p <= slop for p in pa for q in pb)
+        else:
+            ok = any(abs(q - p) <= slop for p in pa for q in pb)
+        if ok:
+            out.add(r["docid"])
+    return out
+
+
+def test_near_matches_bruteforce(spark, simple_index):
+    idx, docs = simple_index
+    want = _brute_prox(docs, "spark", "join", 5, ordered=False)
+    got = {
+        r["docid"]
+        for r in boolean_search(idx, "spark NEAR/5 join", top_k=10**6).collect()
+    }
+    assert got == want
+    assert got
+
+
+def test_pre_ordered_matches_bruteforce_and_is_asymmetric(spark, simple_index):
+    idx, docs = simple_index
+    got_ab = {
+        r["docid"]
+        for r in boolean_search(idx, "spark PRE/5 join", top_k=10**6).collect()
+    }
+    got_ba = {
+        r["docid"]
+        for r in boolean_search(idx, "join PRE/5 spark", top_k=10**6).collect()
+    }
+    assert got_ab == _brute_prox(docs, "spark", "join", 5, ordered=True)
+    assert got_ba == _brute_prox(docs, "join", "spark", 5, ordered=True)
+    assert got_ab and got_ba and got_ab != got_ba  # order matters
+
+
+def test_near_leaf_matches_proximity_operator(spark, simple_index):
+    """The NEAR boolean leaf and the standalone proximity_search
+    operator (which has its own DuckDB oracle) agree on membership AND
+    top-k scores: both terms are positive, so a NEAR-only query scores
+    exactly like proximity_search."""
+    from large_scale_hypertextual_search_engine_spark.operators.phrase import (
+        proximity_search,
+    )
+
+    idx, _ = simple_index
+    for ordered in (False, True):
+        q = Near("spark", "join", 4, ordered=ordered)
+        want = sorted(
+            (r["rank"], r["doc_int"], r["docid"], r["score"])
+            for r in proximity_search(
+                idx, "spark", "join", slop=4, ordered=ordered, top_k=10
+            ).collect()
+        )
+        got = sorted(
+            (r["rank"], r["doc_int"], r["docid"], r["score"])
+            for r in boolean_search(idx, q, top_k=10).collect()
+        )
+        assert got == want, ordered
+        assert len(got) == 10
+
+
+def test_near_composes_with_boolean_ops(spark, simple_index):
+    idx, docs = simple_index
+    prox = _brute_prox(docs, "spark", "join", 4, ordered=False)
+    merge = _brute_match(docs, lambda t: "merge" in t)
+    want = prox - merge
+    got = {
+        r["docid"]
+        for r in boolean_search(
+            idx, "spark NEAR/4 join AND NOT merge", top_k=10**6
+        ).collect()
+    }
+    assert got == want
+    assert got
+
+
 def test_term_absent_from_lexicon_fails_and(spark, simple_index):
     idx, _ = simple_index
     assert boolean_search(idx, "spark AND zzzmissingterm").count() == 0
@@ -235,6 +343,9 @@ BOOL_QUERIES = [
     '(spark AND NOT merge) OR (merge AND NOT spark)',
     "spark OR zzzmissingterm",
     "spark AND zzzmissingterm",
+    "spark NEAR/5 join",
+    "spark PRE/5 join AND NOT merge",
+    "spark NEAR/3 zzzmissingterm OR merge",
 ]
 
 
@@ -301,6 +412,8 @@ def test_batch_matches_single(spark, simple_index):
         3: '"fast key" AND NOT spark',
         4: "merge OR window",
         5: "spark AND zzzmissingterm",
+        6: "spark NEAR/5 join",
+        7: "spark PRE/4 join OR merge",
     }
     got = {}
     for r in boolean_search_batch(idx, qs, top_k=10).collect():
