@@ -222,6 +222,79 @@ def q_ft_boolean_near(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank over a deterministic synthetic link graph derived from
+    the documents table (doc_id % 5 == 0 are dangling; everyone else
+    links to three affine-mod neighbors). 6 damped iterations with
+    dangling-mass redistribution; DuckDB oracle unrolls the same six
+    iterations as CTE stages. Ordered by ROUNDED rank so the top-50 cut
+    is FP-robust across engines."""
+    from large_scale_hypertextual_search_engine_spark.operators.linkrank import (
+        pagerank,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    src = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("src")
+    )
+    parts = [
+        src.select("src", ((F.col("src") * a + c) % n).alias("dst"))
+        for a, c in ((7, 1), (13, 3), (31, 11))
+    ]
+    edges = parts[0].union(parts[1]).union(parts[2]).filter(
+        F.col("src") != F.col("dst")
+    )
+    r = pagerank(edges, n_iter=6)
+    return (
+        r.select(
+            F.col("id").cast("long").alias("id"),
+            F.round("rank", 9).alias("rank"),
+        )
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(50)
+    )
+
+
+def q_ft_fuzzy(spark, sf_dir):
+    """Fuzzy term lookup ("did you mean"): lexicon terms within 2 edits
+    of the typo "sprak", ranked (dist asc, tf desc, term asc). Pure
+    JVM: length-difference prune pushed to the lexicon scan, codegen
+    threshold-bounded levenshtein — no Python in the plan (plan-
+    asserted in tests/test_fuzzy.py)."""
+    from large_scale_hypertextual_search_engine_spark.operators.fuzzy import (
+        fuzzy_candidates,
+    )
+
+    return fuzzy_candidates(_index(spark, sf_dir), "sprak", max_dist=2, top_n=5)
+
+
+def q_ft_bm25_deleted(spark, sf_dir):
+    """Tombstoned retrieval: the ft_bm25_and query against an index
+    where doc_id % 7 == 0 has been DELETED (operators/deletes.py).
+    Pre-compaction semantics (Lucene-style): deleted docs are hidden
+    from membership immediately, collection stats (df, n_docs, avg_dl)
+    stay global — so surviving docs keep their scores and the oracle is
+    the filtered-retrieval SQL with the complement predicate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = dict(_index(spark, sf_dir))
+    idx["tombstones"] = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(F.col("doc_id").cast("string").alias("docid"))
+        .join(idx["docid_map"], "docid")
+        .select("doc_int", "docid")
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.query import (
+        search,
+    )
+
+    res = search(idx, ["spark", "join"], top_k=10, mode="and", tf_mode="true")
+    return res.select(
+        "docid", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_ft_bm25_filtered(spark, sf_dir):
     """Filtered retrieval: the ft_bm25_and query restricted to the
     doc_id % 3 == 0 corpus slice. Global collection stats (df, n_docs,
@@ -825,6 +898,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_single": q_ft_bm25_single,
         "ft_bm25_and": q_ft_bm25_and,
         "ft_bm25_filtered": q_ft_bm25_filtered,
+        "ft_bm25_deleted": q_ft_bm25_deleted,
+        "ft_fuzzy": q_ft_fuzzy,
+        "pagerank_top": q_pagerank,
         "ft_bm25_and_compat": q_ft_bm25_and_compat,
         "ft_bm25_or": q_ft_bm25_or,
         "ft_bm25_wand": q_ft_bm25_wand,
@@ -1050,6 +1126,58 @@ SELECT docid,
 FROM scored
 ORDER BY score DESC, docid ASC
 LIMIT 10"""
+
+
+def _pagerank_sql(n_iter: int = 6, damping: float = 0.85) -> str:
+    """Oracle for q_pagerank: the SAME synthetic edge rule and the SAME
+    damped power iteration with dangling-mass redistribution, unrolled
+    as one CTE stage per iteration. Both sides round to 9 decimals and
+    order by the ROUNDED rank, so the top-50 cut tolerates sub-ulp FP
+    association differences between engines."""
+    nn = "(SELECT COUNT(*) FROM documents)"
+    edge_selects = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {a} + {c}) % {nn} AS dst "
+        f"FROM documents WHERE doc_id % 5 <> 0"
+        for a, c in ((7, 1), (13, 3), (31, 11))
+    )
+    stages = [
+        f"""
+edges AS (
+  SELECT DISTINCT src, dst FROM ({edge_selects}) WHERE src <> dst
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM edges UNION SELECT dst FROM edges
+  )
+),
+nc AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT id, 1.0 / (SELECT n FROM nc) AS rank FROM nodes)"""
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        stages.append(f"""
+d{i} AS (SELECT COALESCE(SUM(rank), 0) AS dm FROM r{p}
+         WHERE id NOT IN (SELECT src FROM deg)),
+c{i} AS (SELECT e.dst AS id, SUM(r.rank / g.deg) AS c
+         FROM edges e
+         JOIN r{p} r ON r.id = e.src
+         JOIN deg g ON g.src = e.src
+         GROUP BY e.dst),
+r{i} AS (SELECT nodes.id,
+           (1.0 - {damping}) / (SELECT n FROM nc)
+           + {damping} * (COALESCE(c.c, 0)
+                          + (SELECT dm FROM d{i}) / (SELECT n FROM nc)) AS rank
+         FROM nodes LEFT JOIN c{i} c ON c.id = nodes.id)""")
+    return (
+        "WITH "
+        + ",".join(stages)
+        + f"""
+SELECT id, round(rank, 9) AS rank
+FROM r{n_iter}
+ORDER BY round(rank, 9) DESC, id ASC
+LIMIT 50"""
+    )
 
 
 def _boolean_near_sql(a: str, b: str, slop: int, neg: str) -> str:
@@ -1308,6 +1436,19 @@ FROM (SELECT CAST(doc_id AS VARCHAR) AS docid FROM documents)""",
         "ft_bm25_filtered": _bm25_filtered_sql(
             ["spark", "join"], "doc_id % 3 = 0"
         ),
+        "ft_bm25_deleted": _bm25_filtered_sql(
+            ["spark", "join"], "doc_id % 7 <> 0"
+        ),
+        "ft_fuzzy": f"""
+WITH {_TOKS},
+lex AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+c AS (
+  SELECT term, tf, levenshtein(term, 'sprak') AS dist
+  FROM lex WHERE abs(length(term) - 5) <= 2
+)
+SELECT term, CAST(dist AS INT) AS dist, tf
+FROM c WHERE dist <= 2
+ORDER BY dist ASC, tf DESC, term ASC LIMIT 5""",
         "ft_bm25_or": _bm25_true_sql(["merge", "window"], "or"),
         # WAND is exact top-k: the oracle is the same SQL as ft_bm25_or
         "ft_bm25_wand": _bm25_true_sql(["merge", "window"], "or"),
@@ -1315,6 +1456,7 @@ FROM (SELECT CAST(doc_id AS VARCHAR) AS docid FROM documents)""",
         "ft_proximity": _proximity_true_sql("fast", "key", 4),
         "ft_boolean": _boolean_true_sql(["merge", "spark"], ["join"]),
         "ft_boolean_near": _boolean_near_sql("fast", "key", 4, "merge"),
+        "pagerank_top": _pagerank_sql(6, 0.85),
         "boolean_batch": f"""
 SELECT CAST(1 AS INTEGER) AS query_id, * FROM (
 {_boolean_true_sql(["merge", "spark"], ["join"])}

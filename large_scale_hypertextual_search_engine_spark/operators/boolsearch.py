@@ -58,7 +58,12 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.bm25 import K1, B, bm25_score
 from .phrase import decode_postings_positions_df
-from .query import _stats, decode_postings_df, prune_buckets
+from .query import (
+    _stats,
+    decode_postings_df,
+    exclude_tombstones,
+    prune_buckets,
+)
 
 # ------------------------------------------------------------------ AST
 
@@ -339,10 +344,11 @@ def boolean_search(
     spark = index["postings"].sparkSession
 
     pruned = prune_buckets(index, all_terms)
-    decoded = (
+    decoded = exclude_tombstones(
+        index,
         decode_postings_positions_df(pruned, all_terms)
         if has_positional
-        else decode_postings_df(pruned, all_terms)
+        else decode_postings_df(pruned, all_terms),
     )
 
     # (leaf_id, slot idx, term, m, window): Term leaves are 1-slot leaves
@@ -486,10 +492,11 @@ def boolean_search_batch(
     spark = index["postings"].sparkSession
 
     pruned = prune_buckets(index, all_terms)
-    decoded = (
+    decoded = exclude_tombstones(
+        index,
         decode_postings_positions_df(pruned, all_terms)
         if has_positional
-        else decode_postings_df(pruned, all_terms)
+        else decode_postings_df(pruned, all_terms),
     )
 
     slot_rows = []

@@ -1,0 +1,256 @@
+"""Document deletion: tombstones + index compaction.
+
+The reference engine has no delete path — removing a document means
+rebuilding the whole index (its README.md:251-263 roadmap stops at
+"incremental updates"). This module adds the Lucene-style two-phase
+delete a 100 TB deployment needs:
+
+* :func:`delete_docs` appends (doc_int, docid) tombstone rows under
+  ``<index>/tombstones``. O(deleted) work, no index rewrite; picked up
+  by the next ``plans.lineage.load_index``.
+* Query time: every query path drops tombstoned docs from its
+  candidates (``query.exclude_tombstones`` anti-join; the WAND kernel
+  skips them before scoring so a deleted doc can never occupy a top-k
+  slot). Collection stats (n_docs, avg_dl) and per-term df stay GLOBAL
+  until compaction — deliberately the Lucene semantics: deletes hide
+  documents immediately, statistics and space reclaim at merge. An
+  index with no tombstones pays nothing (plan unchanged).
+* :func:`compact_index` rewrites the index without the deleted docs as
+  a NARROW per-term map over the postings rows (decode -> mask ->
+  re-encode; zero shuffle — term is already the row key), with the
+  stats tables recomputed by cheap aggregates. doc_int stays stable
+  (no re-minting pass), so compaction is embarrassingly parallel at
+  any scale. After compaction, query results are identical to a fresh
+  build over the surviving corpus (pytest-asserted); re-encoded blocks
+  carry min_dl=0 (valid, looser WAND bounds — a full rebuild restores
+  tight bounds).
+
+Scale envelope: the deleted-doc set is collected to the driver once
+per compaction and shipped in the kernel closure — fine for the
+realistic regime (deletes ≪ corpus); when deletes approach the corpus
+size, a fresh build over the survivors is cheaper than compaction
+anyway.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["delete_docs", "compact_index", "tombstone_path"]
+
+
+def tombstone_path(index_dir: str) -> str:
+    return f"{index_dir.rstrip('/')}/tombstones"
+
+
+def delete_docs(
+    spark: SparkSession, index_dir: str, docids: DataFrame | list
+) -> int:
+    """Tombstone documents in an on-disk index. Returns the number of
+    (previously live) documents newly tombstoned.
+
+    ``docids`` is a list of external docid strings or a DataFrame with
+    a ``docid`` (string) or ``doc_int`` (long) column. Unknown ids are
+    ignored (deleting a non-existent doc is a no-op, not an error).
+    """
+    d = index_dir.rstrip("/")
+    dm = spark.read.parquet(f"{d}/docid_map")
+    if isinstance(docids, (list, tuple)):
+        docids = spark.createDataFrame(
+            [(str(x),) for x in docids], "docid string"
+        )
+    key = "doc_int" if "doc_int" in docids.columns else "docid"
+    ts = dm.join(docids.select(key).distinct(), key, "semi")
+    tp = tombstone_path(d)
+    prev = (
+        spark.read.parquet(tp).select("doc_int")
+        if _has_parquet(tp)
+        else None
+    )
+    if prev is not None:
+        ts = ts.join(prev, "doc_int", "left_anti")
+    n = ts.count()
+    if n:
+        ts.select("doc_int", "docid").write.mode("append").parquet(tp)
+    return n
+
+
+def _has_parquet(path: str) -> bool:
+    p = Path(path)
+    return p.exists() and any(p.glob("*.parquet"))
+
+
+def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The distinct tombstone set for an index dir, or None."""
+    tp = tombstone_path(index_dir)
+    if not _has_parquet(tp):
+        return None
+    return spark.read.parquet(tp).select("doc_int", "docid").distinct()
+
+
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    block_size: int = 128,
+) -> dict[str, DataFrame]:
+    """Rewrite ``index_dir`` without its tombstoned documents into
+    ``out_dir`` (which may equal ``index_dir`` only if you enjoy data
+    loss — it must be a fresh directory). Returns the loaded compacted
+    index dict.
+
+    Plan shape (the 100 TB argument): postings rewrite is ONE narrow
+    ``mapInPandas`` over the bucket-partitioned postings scan — no
+    shuffle, no decode of any term the deletes don't touch beyond its
+    docid walk; lexicon/doc_stats/docid_map/collection_stats are
+    column-pruned scans + one tiny aggregate. Nothing is collected to
+    the driver except the deleted-id set itself.
+    """
+    from ..plans.lineage import load_index, stage_meta
+
+    d = index_dir.rstrip("/")
+    o = out_dir.rstrip("/")
+    if Path(o).resolve() == Path(d).resolve():
+        raise ValueError("compact_index requires a fresh out_dir")
+    t0 = time.time()
+    idx = load_index(spark, d)
+    ts = idx.get("tombstones")
+    deleted = (
+        np.sort(
+            np.asarray(
+                [r["doc_int"] for r in ts.select("doc_int").collect()],
+                dtype=np.int64,
+            )
+        )
+        if ts is not None
+        else np.empty(0, np.int64)
+    )
+    nb = idx.get("_n_buckets")
+
+    postings = idx["postings"]
+    has_blocks = "blocks" in postings.columns
+    cols = ["term", "df", "tf", "postings"] + (
+        ["blocks"] if has_blocks else []
+    ) + (["bucket_id"] if "bucket_id" in postings.columns else [])
+    out_schema = (
+        "term string, df long, tf long, postings binary, "
+        "blocks array<struct<last_docid:long,max_tf:int,min_dl:int,"
+        "offset:int,bytes:int>>"
+        + (", bucket_id int" if "bucket_id" in postings.columns else "")
+    )
+
+    def _rewrite(pdfs):
+        from ..functions.varbyte import decode_postings, encode_postings
+
+        for pdf in pdfs:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                offs = (
+                    np.array(
+                        [b["offset"] for b in row.blocks], dtype=np.int64
+                    )
+                    if has_blocks and row.blocks is not None
+                    else None
+                )
+                docids, tfs, flat_pos = decode_postings(
+                    bytes(row.postings), offs
+                )
+                if deleted.size == 0:
+                    keep = np.ones(docids.size, dtype=bool)
+                else:
+                    pos = np.searchsorted(deleted, docids)
+                    pos[pos == deleted.size] = 0
+                    keep = deleted[pos] != docids
+                if keep.all():
+                    rows.append(tuple(getattr(row, c) for c in cols))
+                    continue
+                if not keep.any():
+                    continue  # term fully deleted -> drop the row
+                pkeep = np.repeat(keep, tfs)
+                nd, nt = docids[keep], tfs[keep]
+                blob, blocks = encode_postings(
+                    nd, nt, flat_pos[pkeep], block_size
+                )
+                rec = {
+                    "term": row.term,
+                    "df": int(nd.size),
+                    "tf": int(nt.sum()),
+                    "postings": blob,
+                    "blocks": [
+                        {
+                            "last_docid": int(ld),
+                            "max_tf": int(mt),
+                            "min_dl": int(md),
+                            "offset": int(off),
+                            "bytes": int(nb_),
+                        }
+                        for (ld, mt, md, off, nb_) in blocks
+                    ],
+                }
+                if "bucket_id" in cols:
+                    rec["bucket_id"] = row.bucket_id
+                rows.append(tuple(rec[c] for c in cols))
+            yield pd.DataFrame(rows, columns=cols)
+
+    new_postings = postings.select(*cols).mapInPandas(_rewrite, out_schema)
+    writer = new_postings.sortWithinPartitions("term").write.mode("overwrite")
+    if "bucket_id" in cols:
+        writer = writer.partitionBy("bucket_id")
+    writer.parquet(f"{o}/postings")
+    meta = {
+        "stage": "postings",
+        "fingerprint": f"compact:{stage_meta(f'{d}/postings').get('fingerprint')}",
+        "committed": True,
+        "compacted_from": d,
+        "n_deleted": int(deleted.size),
+        "wall_ms": int((time.time() - t0) * 1000),
+    }
+    if nb:
+        meta["n_buckets"] = int(nb)
+    (Path(o) / "postings" / "_stage_meta.json").write_text(json.dumps(meta))
+    spark.catalog.refreshByPath(f"{o}/postings")
+    posted = spark.read.parquet(f"{o}/postings")
+
+    # lexicon: keep the original (stable) term_id, refresh df/tf/bytes
+    # from the rewritten postings; terms whose lists emptied drop out
+    idx["lexicon"].select("term_id", "term", "bucket_id").join(
+        posted.select(
+            "term", "df", "tf", F.length("postings").alias("bytes")
+        ),
+        "term",
+    ).select("term_id", "term", "df", "tf", "bytes", "bucket_id").write.mode(
+        "overwrite"
+    ).parquet(f"{o}/lexicon")
+
+    ts_ids = (
+        ts.select("doc_int") if ts is not None
+        else spark.createDataFrame([], "doc_int long")
+    )
+    idx["docid_map"].join(ts_ids, "doc_int", "left_anti").write.mode(
+        "overwrite"
+    ).parquet(f"{o}/docid_map")
+    doc_stats = idx["doc_stats"].join(ts_ids, "doc_int", "left_anti")
+    doc_stats.write.mode("overwrite").parquet(f"{o}/doc_stats")
+    spark.catalog.refreshByPath(f"{o}/doc_stats")
+    spark.read.parquet(f"{o}/doc_stats").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("doc_len") / F.count("*")).alias("avg_dl"),
+    ).write.mode("overwrite").parquet(f"{o}/collection_stats")
+
+    for name in ("lexicon", "docid_map", "doc_stats", "collection_stats"):
+        (Path(o) / name / "_stage_meta.json").write_text(
+            json.dumps(
+                {
+                    "stage": name,
+                    "fingerprint": meta["fingerprint"],
+                    "committed": True,
+                }
+            )
+        )
+    return load_index(spark, o)

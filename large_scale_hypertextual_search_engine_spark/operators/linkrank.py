@@ -1,0 +1,173 @@
+"""PageRank + static-rank-boosted retrieval — the "hypertextual" half.
+
+The reference's own name promises hypertextual search, but its engine
+ranks by BM25 alone; link analysis appears nowhere in its code or
+roadmap. This module adds the canonical citation-graph signal (Brin &
+Page 1998, public) and the score-composition step that folds it into
+retrieval, completing the name.
+
+:func:`pagerank` is the standard damped power iteration with dangling-
+mass redistribution, expressed as DataFrame aggregates:
+
+    rank'(v) = (1-d)/N + d * ( Σ_{u→v} rank(u)/outdeg(u) + dangling/N )
+
+100 TB design notes:
+
+* Each iteration is two map-side-combining shuffles (join contribs on
+  src, aggregate on dst) — the unavoidable minimum for edge-keyed
+  message passing. The edge list (with out-degrees pre-joined) is
+  materialized ONCE and reused every iteration; per-iteration state is
+  2 longs + 1 double per node.
+* Dangling mass is ONE scalar aggregate per iteration (sum over
+  out-degree-0 nodes) — a driver round-trip of 8 bytes, not a collect.
+* Lineage is truncated every iteration (``localCheckpoint``, same
+  rationale as operators/graph.py: the logical plan would double per
+  round and Catalyst analysis, not data, becomes the bottleneck; on a
+  real cluster prefer ``checkpoint`` to a reliable dir).
+* Fixed iteration count, no convergence test by default: at web scale
+  the L1-delta test costs another shuffle per round; 10-20 damped
+  iterations is the textbook operating point. Pass ``tol`` to get the
+  extra aggregate and early exit when Σ|Δ| < tol.
+
+:func:`search_boosted` multiplies BM25 by a per-document static prior
+(1 + weight·boost) — the composition Google's original ranker used for
+IR score × PageRank; any (doc, boost) frame works (PageRank, quality
+score, recency).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.bm25 import B, K1
+
+__all__ = ["pagerank", "search_boosted"]
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    tol: float | None = None,
+) -> DataFrame:
+    """(src, dst) directed edge list -> (id, rank), Σ rank = 1.
+
+    Nodes are the union of sources and destinations; duplicate edges
+    count once (multigraph semantics are the caller's transform).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # out-degree rides WITH the edges so the per-iteration join touches
+    # one table, and contributions combine map-side in the dst agg
+    ew = e.join(deg, "src").localCheckpoint(eager=True)
+    base = (1.0 - damping) / n
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
+        eager=True
+    )
+    dangling_ids = nodes.join(
+        deg.select(F.col("src").alias("id")), "id", "left_anti"
+    ).localCheckpoint(eager=True)
+
+    for _ in range(n_iter):
+        dm = (
+            ranks.join(dangling_ids, "id", "semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            ew.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        new_ranks = (
+            nodes.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dm / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if tol is not None:
+            delta = (
+                new_ranks.join(
+                    ranks.withColumnRenamed("rank", "old"), "id"
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+                .collect()[0][0]
+            )
+            ranks = new_ranks
+            if delta < tol:
+                break
+        else:
+            ranks = new_ranks
+    return ranks
+
+
+def search_boosted(
+    index: dict[str, DataFrame],
+    terms: list[str],
+    boosts: DataFrame,
+    top_k: int = 10,
+    mode: str = "and",
+    tf_mode: str = "true",
+    weight: float = 1.0,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """BM25 retrieval re-ranked by a static per-document prior:
+
+        final = bm25 * (1 + weight * boost)
+
+    ``boosts``: (doc_int | docid, boost double); docs absent from it
+    get boost 0 (prior 1.0 — unboosted). Membership (AND/OR) is decided
+    by BM25 exactly as in ``query.search``; only the ordering changes,
+    so the full match set re-ranks, not just the BM25 top-k (a
+    boost-blind top-k cut would drop a heavily-boosted rank-11 doc).
+    Returns (rank, doc_int, docid, score, bm25).
+    """
+    from pyspark.sql import Window
+
+    from .query import search
+
+    if "doc_int" not in boosts.columns:
+        boosts = (
+            boosts.select(F.col("docid").cast("string").alias("docid"), "boost")
+            .join(index["docid_map"], "docid")
+        )
+    hits = search(index, terms, top_k=2**31 - 1, mode=mode, tf_mode=tf_mode,
+                  k1=k1, b=b).select(
+        "doc_int", "docid", F.col("score").alias("bm25")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_int"))
+    return (
+        hits.join(boosts.select("doc_int", "boost"), "doc_int", "left")
+        .withColumn(
+            "score",
+            F.col("bm25")
+            * (1.0 + F.lit(weight) * F.coalesce(F.col("boost"), F.lit(0.0))),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_int"))
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_int", "docid", "score", "bm25")
+    )

@@ -47,7 +47,7 @@ from pyspark.sql.types import (
 
 from ..functions.bm25 import K1, B, bm25_score
 from ..functions.varbyte import decode_postings
-from .query import _stats, prune_buckets
+from .query import _stats, exclude_tombstones, prune_buckets
 
 POS_DECODED_SCHEMA = StructType(
     [
@@ -131,7 +131,9 @@ def _phrase_grouped(
     uniq = list(dict.fromkeys(phrase))
     spark = index["postings"].sparkSession
 
-    decoded = decode_postings_positions_df(prune_buckets(index, uniq), uniq)
+    decoded = exclude_tombstones(
+        index, decode_postings_positions_df(prune_buckets(index, uniq), uniq)
+    )
     slots = spark.createDataFrame(
         [(i, t) for i, t in enumerate(phrase)], "idx long, term string"
     )
@@ -207,8 +209,9 @@ def phrase_search_batch(
     spark = index["postings"].sparkSession
     all_terms = list(dict.fromkeys(t for p in phrases.values() for t in p))
 
-    decoded = decode_postings_positions_df(
-        prune_buckets(index, all_terms), all_terms
+    decoded = exclude_tombstones(
+        index,
+        decode_postings_positions_df(prune_buckets(index, all_terms), all_terms),
     )
     slots = spark.createDataFrame(
         [(qid, i, t) for qid, p in phrases.items() for i, t in enumerate(p)],
@@ -313,7 +316,9 @@ def proximity_search(
     n_docs, avg_dl = _stats(index)
     uniq = [term_a, term_b]
 
-    decoded = decode_postings_positions_df(prune_buckets(index, uniq), uniq)
+    decoded = exclude_tombstones(
+        index, decode_postings_positions_df(prune_buckets(index, uniq), uniq)
+    )
     doc_stats = index["doc_stats"].select("doc_int", "doc_len")
     tf_eff = F.lit(1.0) if tf_mode == "compat" else F.col("tf").cast("double")
     cand = (

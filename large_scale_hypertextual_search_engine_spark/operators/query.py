@@ -118,6 +118,18 @@ def prune_buckets(index: dict[str, DataFrame], terms: list[str]) -> DataFrame:
     return postings
 
 
+def exclude_tombstones(index: dict[str, DataFrame], cand: DataFrame) -> DataFrame:
+    """Drop tombstoned documents from a candidates frame (a no-op for
+    indexes without deletes — the plan is unchanged). Deletes hide
+    documents immediately; collection stats and df stay GLOBAL until
+    ``deletes.compact_index`` (the Lucene semantics). The tombstone set
+    is a tiny parquet scan, so Catalyst broadcasts the anti-join."""
+    ts = index.get("tombstones")
+    if ts is None:
+        return cand
+    return cand.join(ts.select("doc_int"), "doc_int", "left_anti")
+
+
 def _stats(index: dict[str, DataFrame]) -> tuple[int, float]:
     cached = index.get("_stats")
     if cached is not None:
@@ -163,7 +175,9 @@ def search_batch(
     queries = queries.dropDuplicates(["query_id", "term"])
     if terms is None:
         terms = [r["term"] for r in queries.select("term").distinct().collect()]
-    decoded = decode_postings_df(prune_buckets(index, terms), terms)
+    decoded = exclude_tombstones(
+        index, decode_postings_df(prune_buckets(index, terms), terms)
+    )
     if doc_filter is not None:
         if "doc_int" not in doc_filter.columns:
             doc_filter = (

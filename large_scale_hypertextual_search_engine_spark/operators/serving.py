@@ -153,6 +153,50 @@ class SearchServer:
             self._docids[idx] = np.asarray(
                 batch.column("docid").to_pylist(), dtype=object
             )
+        # tombstones: deleted docs are masked out of every decoded
+        # posting entry at fetch time, before caching — every query
+        # path is then delete-clean for free. df stays the stored
+        # (global) value for scoring, mirroring the Spark paths'
+        # pre-compaction semantics. Build a NEW server (or call
+        # refresh_tombstones) after delete_docs.
+        ts = index.get("tombstones")
+        self._deleted = (
+            np.sort(
+                ts.select("doc_int")
+                .toPandas()["doc_int"]
+                .to_numpy()
+                .astype(np.int64)
+            )
+            if ts is not None
+            else _EMPTY
+        )
+
+    def refresh_tombstones(self) -> None:
+        """Re-read the index's tombstone set and drop cached entries
+        (posting caches were filtered against the old set)."""
+        ts = self._index.get("tombstones")
+        self._deleted = (
+            np.sort(
+                ts.select("doc_int")
+                .toPandas()["doc_int"]
+                .to_numpy()
+                .astype(np.int64)
+            )
+            if ts is not None
+            else _EMPTY
+        )
+        self._cache.clear()
+
+    def _mask_deleted(self, docids, tfs, flat_pos=None):
+        """Drop tombstoned docs from one decoded posting entry."""
+        if self._deleted.size == 0 or docids.size == 0:
+            return (docids, tfs) if flat_pos is None else (docids, tfs, flat_pos)
+        keep = ~_sorted_member(self._deleted, docids)
+        if keep.all():
+            return (docids, tfs) if flat_pos is None else (docids, tfs, flat_pos)
+        if flat_pos is None:
+            return docids[keep], tfs[keep]
+        return docids[keep], tfs[keep], flat_pos[np.repeat(keep, tfs)]
 
     # ---------------------------------------------------------- postings
     def _fetch(self, terms: list[str]) -> dict[str, tuple]:
@@ -178,7 +222,9 @@ class SearchServer:
                 if has_blocks
                 else None
             )
-            docids, tfs = decode_postings_fast(bytes(r["postings"]), offs)
+            docids, tfs = self._mask_deleted(
+                *decode_postings_fast(bytes(r["postings"]), offs)
+            )
             entries[r["term"]] = (int(r["df"]), docids, tfs)
         for t in missing:  # negative-cache absent terms (df = 0)
             if t not in entries:
@@ -207,7 +253,9 @@ class SearchServer:
                 if has_blocks
                 else None
             )
-            docids, tfs, flat_pos = decode_postings(bytes(r["postings"]), offs)
+            docids, tfs, flat_pos = self._mask_deleted(
+                *decode_postings(bytes(r["postings"]), offs)
+            )
             out[r["term"]] = (int(r["df"]), docids, tfs, flat_pos)
         return out
 

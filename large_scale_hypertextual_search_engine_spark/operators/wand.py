@@ -166,6 +166,7 @@ def wand_topk_kernel(
     b: float = B,
     doc_lo: int = 0,
     doc_hi: int | None = None,
+    deleted: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k (OR semantics) via Block-Max WAND.
 
@@ -173,7 +174,11 @@ def wand_topk_kernel(
     indexed by ``doc_int - doc_lo`` (whole-collection callers pass
     doc_lo=0 with doc_len[0] unused). Only docs in [doc_lo or 1,
     doc_hi) are scored — shard slices may carry straddling blocks whose
-    out-of-range docs belong to a neighboring shard. Returns
+    out-of-range docs belong to a neighboring shard. ``deleted``
+    (bool mask, same indexing as doc_len): tombstoned docs are skipped
+    BEFORE scoring, so a deleted doc can never occupy a top-k slot nor
+    raise theta; they still count in block upper bounds, which stay
+    valid (just looser) until compaction rewrites the blocks. Returns
     [(doc_int, score)] sorted by (score desc, doc_int asc) —
     rank-identical to the exact path.
     """
@@ -238,6 +243,11 @@ def wand_topk_kernel(
                     c.next_geq(target)
             continue
         if cursors[0].cur_doc == pivot_doc:
+            if deleted is not None and deleted[pivot_doc - doc_lo]:
+                for c in cursors:
+                    if c.cur_doc == pivot_doc:
+                        c.advance()
+                continue
             # all leaders aligned on pivot -> score it
             dl = float(doc_len[pivot_doc - doc_lo])
             norm = k1 * (fb + b * (dl / avg_dl))
@@ -350,6 +360,38 @@ def _explode_to_shards(span: int):
     return _explode
 
 
+def _doc_slice(index, span):
+    """Per-shard doc_stats slice for the WAND cogroup; carries a
+    ``deleted`` flag column when the index has tombstones so the kernel
+    can skip tombstoned docs before scoring."""
+    ds = index["doc_stats"].select(
+        ((F.col("doc_int") - 1) / F.lit(span)).cast("int").alias("shard"),
+        "doc_int",
+        "doc_len",
+    )
+    ts = index.get("tombstones")
+    if ts is not None:
+        ds = ds.join(
+            ts.select("doc_int").withColumn("deleted", F.lit(True)),
+            "doc_int",
+            "left",
+        ).withColumn("deleted", F.coalesce("deleted", F.lit(False)))
+    return ds
+
+
+def _deleted_mask(d_pdf, span, lo):
+    """Bool mask (indexed like doc_len) of tombstoned docs in a shard's
+    doc_stats slice, or None when the shard has no deletes."""
+    if "deleted" not in d_pdf.columns or not len(d_pdf):
+        return None
+    flags = d_pdf["deleted"].to_numpy().astype(bool)
+    if not flags.any():
+        return None
+    mask = np.zeros(span + 1, dtype=bool)
+    mask[d_pdf["doc_int"].to_numpy()[flags] - lo] = True
+    return mask
+
+
 def wand_search(
     index: dict[str, DataFrame],
     terms: list[str],
@@ -390,11 +432,7 @@ def wand_search(
         "term", "df", "postings", "blocks"
     )
     shard_rows = rows.mapInPandas(_explode_to_shards(span), _SHARD_ROWS_DDL)
-    ds = index["doc_stats"].select(
-        ((F.col("doc_int") - 1) / F.lit(span)).cast("int").alias("shard"),
-        "doc_int",
-        "doc_len",
-    )
+    ds = _doc_slice(index, span)
 
     def _kernel(key, p_pdf: pd.DataFrame, d_pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])
@@ -418,7 +456,7 @@ def wand_search(
             term_rows.append((idf, bytes(blob), bl, int(base)))
         res = wand_topk_kernel(
             term_rows, doc_len, n_docs, avg_dl, top_k, tf_mode, k1, b,
-            doc_lo=lo, doc_hi=hi,
+            doc_lo=lo, doc_hi=hi, deleted=_deleted_mask(d_pdf, span, lo),
         )
         return pd.DataFrame(
             {"doc_int": [d for d, _ in res], "score": [s for _, s in res]}
@@ -500,11 +538,7 @@ def wand_search_batch(
         "term", "df", "postings", "blocks"
     )
     shard_rows = rows.mapInPandas(_explode_to_shards(span), _SHARD_ROWS_DDL)
-    ds = index["doc_stats"].select(
-        ((F.col("doc_int") - 1) / F.lit(span)).cast("int").alias("shard"),
-        "doc_int",
-        "doc_len",
-    )
+    ds = _doc_slice(index, span)
 
     def _kernel(key, p_pdf: pd.DataFrame, d_pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])
@@ -527,6 +561,7 @@ def wand_search_batch(
                 for d in blocks
             ]
             by_term[term] = (idf, bytes(blob), bl, int(base))
+        deleted = _deleted_mask(d_pdf, span, lo)
         out_q, out_d, out_s = [], [], []
         for qid, terms in qlists.items():
             term_rows = [by_term[t] for t in terms if t in by_term]
@@ -534,7 +569,7 @@ def wand_search_batch(
                 continue
             res = wand_topk_kernel(
                 term_rows, doc_len, n_docs, avg_dl, top_k, tf_mode, k1, b,
-                doc_lo=lo, doc_hi=hi,
+                doc_lo=lo, doc_hi=hi, deleted=deleted,
             )
             out_q.extend([qid] * len(res))
             out_d.extend(d for d, _ in res)

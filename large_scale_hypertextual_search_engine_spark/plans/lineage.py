@@ -354,4 +354,9 @@ def load_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
     nb = stage_meta(f"{d}/postings").get("n_buckets")
     if nb:
         out["_n_buckets"] = int(nb)  # enables driver-side bucket pruning
+    from ..operators.deletes import load_tombstones
+
+    ts = load_tombstones(spark, d)
+    if ts is not None:
+        out["tombstones"] = ts  # query paths anti-join these doc_ints
     return out

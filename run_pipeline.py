@@ -190,11 +190,29 @@ def cmd_search(args) -> None:
             doc_filter = doc_filter.select(
                 F.col(args.filter_id_col).cast("string").alias("docid")
             )
-        res = search_text(
-            idx, args.query, top_k=args.top_k, mode=args.mode,
-            tf_mode=args.tf_mode, analyzer_mode=args.analyzer, stem=args.stem,
-            doc_filter=doc_filter,
-        )
+        if args.fuzzy:
+            from large_scale_hypertextual_search_engine_spark.operators.fuzzy import (
+                search_fuzzy,
+            )
+
+            if args.analyzer == "simple":
+                terms = tokenize_simple(args.query)
+            else:
+                terms = [
+                    t.term for t in tokenize_compat(args.query, stem=args.stem)
+                ]
+            res, corr = search_fuzzy(
+                idx, terms, top_k=args.top_k, mode=args.mode,
+                tf_mode=args.tf_mode, max_dist=args.max_dist,
+            )
+            if corr:
+                print(json.dumps({"did_you_mean": corr}))
+        else:
+            res = search_text(
+                idx, args.query, top_k=args.top_k, mode=args.mode,
+                tf_mode=args.tf_mode, analyzer_mode=args.analyzer,
+                stem=args.stem, doc_filter=doc_filter,
+            )
     if args.snippets_from:
         from large_scale_hypertextual_search_engine_spark.operators.snippet import (
             best_window_snippets,
@@ -540,6 +558,57 @@ def cmd_stats(args) -> None:
     print(json.dumps(out, indent=2))
 
 
+def cmd_delete(args) -> None:
+    """Tombstone documents in a saved index (no rewrite; queries hide
+    them immediately). --docid may repeat; --docids-from reads a
+    parquet/text file of ids."""
+    from large_scale_hypertextual_search_engine_spark.operators.deletes import (
+        delete_docs,
+    )
+
+    spark = _spark("lshse-delete")
+    if args.docids_from:
+        if args.docids_from.endswith(".parquet") or Path(
+            args.docids_from
+        ).is_dir():
+            ids = spark.read.parquet(args.docids_from)
+        else:
+            ids = spark.read.text(args.docids_from).selectExpr(
+                "trim(value) as docid"
+            )
+    else:
+        if not args.docid:
+            raise SystemExit("pass --docid (repeatable) or --docids-from")
+        ids = args.docid
+    n = delete_docs(spark, args.index, ids)
+    print(json.dumps({"index": args.index, "newly_deleted": n}))
+
+
+def cmd_compact(args) -> None:
+    """Rewrite an index without its tombstoned docs into --out."""
+    import time as _t
+
+    from large_scale_hypertextual_search_engine_spark.operators.deletes import (
+        compact_index,
+    )
+
+    spark = _spark("lshse-compact")
+    t0 = _t.time()
+    idx = compact_index(spark, args.index, args.out)
+    row = idx["collection_stats"].collect()[0]
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "n_docs": int(row["n_docs"]),
+                "avg_dl": round(float(row["avg_dl"]), 3),
+                "n_terms": idx["lexicon"].count(),
+                "wall_s": round(_t.time() - t0, 2),
+            }
+        )
+    )
+
+
 def cmd_package(args) -> None:
     """Zip the package for --py-files."""
     import zipfile
@@ -611,6 +680,15 @@ def main() -> None:
     p.add_argument(
         "--serve", action="store_true",
         help="warm in-memory serving path (SearchServer)",
+    )
+    p.add_argument(
+        "--fuzzy", action="store_true",
+        help="rewrite out-of-vocabulary terms to their closest lexicon "
+             'term ("did you mean", operators/fuzzy.py)',
+    )
+    p.add_argument(
+        "--max-dist", type=int, default=1,
+        help="with --fuzzy: maximum edit distance for a correction",
     )
     p.add_argument(
         "--filter-from", default=None, metavar="PARQUET",
@@ -690,6 +768,19 @@ def main() -> None:
     p = sub.add_parser("verify", help="per-row sha256 integrity check")
     p.add_argument("--input", required=True)
     p.set_defaults(fn=cmd_verify)
+
+    p = sub.add_parser("delete", help="tombstone documents in a saved index")
+    p.add_argument("--index", required=True)
+    p.add_argument("--docid", action="append", help="external docid (repeatable)")
+    p.add_argument("--docids-from", help="parquet dir or text file of docids")
+    p.set_defaults(fn=cmd_delete)
+
+    p = sub.add_parser(
+        "compact", help="rewrite an index without its tombstoned docs"
+    )
+    p.add_argument("--index", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_compact)
 
     p = sub.add_parser("package", help="build lshse.zip for --py-files")
     p.set_defaults(fn=cmd_package)

@@ -1,0 +1,113 @@
+"""Fuzzy term matching: brute parity vs Python levenshtein, SymSpell
+deletion-index equivalence, and search_fuzzy correction semantics."""
+
+import pytest
+
+from large_scale_hypertextual_search_engine_spark.operators.fuzzy import (
+    DeletionIndex,
+    fuzzy_candidates,
+    search_fuzzy,
+)
+from large_scale_hypertextual_search_engine_spark.operators.index_build import (
+    build_index,
+)
+from large_scale_hypertextual_search_engine_spark.operators.query import search
+
+
+@pytest.fixture(scope="module")
+def fidx(spark):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("cast(doc_id as string) as docid", "text as content")
+    )
+    idx = build_index(docs, mode="simple", stem=False, salt_buckets=2)
+    idx["lexicon"] = idx["lexicon"].cache()
+    return idx
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _brute(idx, word, d, n):
+    lex = [(r["term"], r["tf"]) for r in idx["lexicon"].select("term", "tf").collect()]
+    cand = [(t, _lev(t, word), tf) for t, tf in lex]
+    cand = [(t, dist, tf) for t, dist, tf in cand if dist <= d]
+    cand.sort(key=lambda x: (x[1], -x[2], x[0]))
+    return [(t, dist, tf) for t, dist, tf in cand[:n]]
+
+
+@pytest.mark.parametrize("word,d", [("sprak", 2), ("joim", 1), ("colunm", 2)])
+def test_fuzzy_candidates_match_bruteforce(spark, fidx, word, d):
+    got = [
+        (r["term"], r["dist"], r["tf"])
+        for r in fuzzy_candidates(fidx, word, max_dist=d, top_n=5).collect()
+    ]
+    want = _brute(fidx, word, d, 5)
+    assert got == want
+    assert got, (word, d)
+
+
+def test_exact_word_wins(spark, fidx):
+    got = fuzzy_candidates(fidx, "join", max_dist=1, top_n=3).collect()
+    assert got[0]["term"] == "join" and got[0]["dist"] == 0
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_deletion_index_equals_brute_scan(spark, fidx, d):
+    di = DeletionIndex.build(fidx, max_dist=d)
+    di.sigs = di.sigs.cache()
+    for word in ["joim", "sprak", "valeu", "join"]:
+        got = [
+            (r["term"], r["dist"], r["tf"])
+            for r in di.lookup(spark, word, top_n=5).collect()
+        ]
+        want = [
+            (r["term"], r["dist"], r["tf"])
+            for r in fuzzy_candidates(fidx, word, max_dist=d, top_n=5).collect()
+        ]
+        assert got == want, (word, d)
+
+
+def test_search_fuzzy_corrects_oov(spark, fidx):
+    res, corr = search_fuzzy(fidx, ["joim", "spark"], top_k=10, mode="and")
+    assert corr == {"joim": "join"}
+    want = [
+        (r["rank"], r["docid"], r["score"])
+        for r in search(fidx, ["join", "spark"], top_k=10, mode="and").collect()
+    ]
+    got = [(r["rank"], r["docid"], r["score"]) for r in res.collect()]
+    assert sorted(got) == sorted(want)
+    assert got
+
+
+def test_search_fuzzy_leaves_vocab_terms_alone(spark, fidx):
+    res, corr = search_fuzzy(fidx, ["join", "spark"], top_k=5, mode="and")
+    assert corr == {}
+    assert res.count() == 5
+
+
+def test_fuzzy_plan_is_jvm_only(spark, fidx):
+    plan = (
+        fuzzy_candidates(fidx, "sprak", max_dist=2, top_n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the cached lexicon's BUILD lineage (which legitimately uses
+    # Arrow kernels) is printed under its InMemoryRelation — assert
+    # Python-freedom of the fuzzy query plan above it only
+    query_plan = plan.split("InMemoryRelation")[0]
+    assert "levenshtein" in query_plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in query_plan, plan
