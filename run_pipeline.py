@@ -190,7 +190,28 @@ def cmd_search(args) -> None:
             doc_filter = doc_filter.select(
                 F.col(args.filter_id_col).cast("string").alias("docid")
             )
-        if args.fuzzy:
+        if args.boost_from:
+            from large_scale_hypertextual_search_engine_spark.operators.linkrank import (
+                search_boosted,
+            )
+
+            if args.analyzer == "simple":
+                terms = tokenize_simple(args.query)
+            else:
+                terms = [
+                    t.term for t in tokenize_compat(args.query, stem=args.stem)
+                ]
+            boosts = spark.read.parquet(args.boost_from)
+            if "boost" not in boosts.columns:
+                boosts = boosts.withColumnRenamed("rank", "boost")
+            if "doc_int" not in boosts.columns and "docid" not in boosts.columns:
+                # the `rank` command's output plugs in directly
+                boosts = boosts.withColumnRenamed("id", "doc_int")
+            res = search_boosted(
+                idx, terms, boosts, top_k=args.top_k, mode=args.mode,
+                tf_mode=args.tf_mode, weight=args.boost_weight,
+            ).drop("bm25")
+        elif args.fuzzy:
             from large_scale_hypertextual_search_engine_spark.operators.fuzzy import (
                 search_fuzzy,
             )
@@ -558,6 +579,43 @@ def cmd_stats(args) -> None:
     print(json.dumps(out, indent=2))
 
 
+def cmd_rank(args) -> None:
+    """PageRank over a (src, dst) parquet edge list -> parquet
+    (id, rank); prints the top-5 and mass check."""
+    from pyspark.sql import functions as F
+
+    from large_scale_hypertextual_search_engine_spark.operators.linkrank import (
+        pagerank,
+    )
+
+    spark = _spark("lshse-rank")
+    edges = spark.read.parquet(args.edges)
+    t0 = time.time()
+    r = pagerank(
+        edges, n_iter=args.iters, damping=args.damping,
+        src_col=args.src_col, dst_col=args.dst_col,
+    )
+    r.write.mode("overwrite").parquet(args.out)
+    spark.catalog.refreshByPath(args.out)
+    r = spark.read.parquet(args.out)
+    top = r.orderBy(F.desc("rank"), F.asc("id")).limit(5).collect()
+    mass = r.agg(F.sum("rank")).collect()[0][0]
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "n_nodes": r.count(),
+                "mass": round(float(mass), 9),
+                "top5": [
+                    {"id": row["id"], "rank": round(row["rank"], 9)}
+                    for row in top
+                ],
+                "wall_s": round(time.time() - t0, 2),
+            }
+        )
+    )
+
+
 def cmd_delete(args) -> None:
     """Tombstone documents in a saved index (no rewrite; queries hide
     them immediately). --docid may repeat; --docids-from reads a
@@ -691,6 +749,16 @@ def main() -> None:
         help="with --fuzzy: maximum edit distance for a correction",
     )
     p.add_argument(
+        "--boost-from", default=None, metavar="PARQUET",
+        help="static-prior re-ranking: parquet with (doc_int|docid, "
+             "boost) — e.g. the `rank` command's PageRank output "
+             "(operators/linkrank.py)",
+    )
+    p.add_argument(
+        "--boost-weight", type=float, default=1.0,
+        help="with --boost-from: final = bm25 * (1 + weight * boost)",
+    )
+    p.add_argument(
         "--filter-from", default=None, metavar="PARQUET",
         help="filtered retrieval: restrict results to docids in this "
              "table (exact path only; global stats, ranks recomputed)",
@@ -768,6 +836,15 @@ def main() -> None:
     p = sub.add_parser("verify", help="per-row sha256 integrity check")
     p.add_argument("--input", required=True)
     p.set_defaults(fn=cmd_verify)
+
+    p = sub.add_parser("rank", help="PageRank over a parquet edge list")
+    p.add_argument("--edges", required=True, help="parquet with (src, dst)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--damping", type=float, default=0.85)
+    p.add_argument("--src-col", default="src")
+    p.add_argument("--dst-col", default="dst")
+    p.set_defaults(fn=cmd_rank)
 
     p = sub.add_parser("delete", help="tombstone documents in a saved index")
     p.add_argument("--index", required=True)
