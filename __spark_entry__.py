@@ -222,6 +222,23 @@ def q_ft_boolean_near(spark, sf_dir):
     )
 
 
+def q_ft_facets(spark, sf_dir):
+    """Faceted search: lang/source value counts over the FULL match set
+    of the ft_bm25_and query (spark AND join) — N facet dimensions in
+    ONE aggregation shuffle via explode(array(struct))."""
+    from large_scale_hypertextual_search_engine_spark.operators.facets import (
+        search_facets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("docid"), "lang", "source"
+    )
+    return search_facets(
+        _index(spark, sf_dir), ["spark", "join"], docs,
+        ["lang", "source"], mode="and", top_n=5,
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank over a deterministic synthetic link graph derived from
     the documents table (doc_id % 5 == 0 are dangling; everyone else
@@ -901,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_deleted": q_ft_bm25_deleted,
         "ft_fuzzy": q_ft_fuzzy,
         "pagerank_top": q_pagerank,
+        "ft_facets": q_ft_facets,
         "ft_bm25_and_compat": q_ft_bm25_and_compat,
         "ft_bm25_or": q_ft_bm25_or,
         "ft_bm25_wand": q_ft_bm25_wand,
@@ -1457,6 +1475,31 @@ ORDER BY dist ASC, tf DESC, term ASC LIMIT 5""",
         "ft_boolean": _boolean_true_sql(["merge", "spark"], ["join"]),
         "ft_boolean_near": _boolean_near_sql("fast", "key", 4, "merge"),
         "pagerank_top": _pagerank_sql(6, 0.85),
+        "ft_facets": f"""
+WITH {_TOKS},
+tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ('spark', 'join') GROUP BY docid, term),
+dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
+cand AS (SELECT docid FROM tfs GROUP BY docid
+         HAVING COUNT(DISTINCT term) = (SELECT COUNT(*) FROM dfs)),
+meta AS (SELECT CAST(doc_id AS VARCHAR) AS docid, lang, source FROM documents),
+melted AS (
+  SELECT 'lang' AS facet, COALESCE(lang, '(none)') AS value
+  FROM meta JOIN cand USING (docid)
+  UNION ALL
+  SELECT 'source' AS facet, COALESCE(source, '(none)') AS value
+  FROM meta JOIN cand USING (docid)
+),
+counts AS (SELECT facet, value, COUNT(*) AS n_docs
+           FROM melted GROUP BY facet, value),
+ranked AS (
+  SELECT facet, value, n_docs,
+         CAST(row_number() OVER (
+           PARTITION BY facet ORDER BY n_docs DESC, value ASC
+         ) AS INT) AS rank
+  FROM counts
+)
+SELECT facet, value, n_docs, rank FROM ranked WHERE rank <= 5""",
         "boolean_batch": f"""
 SELECT CAST(1 AS INTEGER) AS query_id, * FROM (
 {_boolean_true_sql(["merge", "spark"], ["join"])}

@@ -260,6 +260,24 @@ def cmd_search(args) -> None:
         if args.snippets_from:
             line += f"  | {r['snippet']}"
         print(line)
+    if args.facets_from:
+        from large_scale_hypertextual_search_engine_spark.operators.facets import (
+            search_facets,
+        )
+
+        if args.analyzer == "simple":
+            fterms = tokenize_simple(args.query)
+        else:
+            fterms = [
+                t.term for t in tokenize_compat(args.query, stem=args.stem)
+            ]
+        fac = search_facets(
+            idx, fterms, spark.read.parquet(args.facets_from),
+            args.facet_cols.split(","), mode=args.mode,
+            tf_mode=args.tf_mode, top_n=args.facet_top_n,
+        ).collect()
+        for fr in sorted(fac, key=lambda r: (r["facet"], r["rank"])):
+            print(f"  [{fr['facet']}] {fr['value']}: {fr['n_docs']}")
     # the reference's Perfomance-monitor records every query's latency;
     # `stats --index` reads this back (metrics_tail / latency_stats)
     from large_scale_hypertextual_search_engine_spark.plans.lineage import (
@@ -758,6 +776,14 @@ def main() -> None:
         "--boost-weight", type=float, default=1.0,
         help="with --boost-from: final = bm25 * (1 + weight * boost)",
     )
+    p.add_argument(
+        "--facets-from", default=None, metavar="PARQUET",
+        help="print facet counts over the match set from this metadata "
+             "table (doc_int|docid keyed; operators/facets.py)",
+    )
+    p.add_argument("--facet-cols", default="lang,source",
+                   help="comma-separated facet columns")
+    p.add_argument("--facet-top-n", type=int, default=5)
     p.add_argument(
         "--filter-from", default=None, metavar="PARQUET",
         help="filtered retrieval: restrict results to docids in this "
