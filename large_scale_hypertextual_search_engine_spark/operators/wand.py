@@ -360,31 +360,59 @@ def _explode_to_shards(span: int):
     return _explode
 
 
-def _doc_slice(index, span):
+def _resolve_doc_filter(index, doc_filter):
+    """Normalize a doc_filter frame to a distinct doc_int column (the
+    same docid->doc_int mapping query.search_batch applies)."""
+    if doc_filter is None:
+        return None
+    if "doc_int" not in doc_filter.columns:
+        doc_filter = doc_filter.select(
+            F.col("docid").cast("string").alias("docid")
+        ).join(index["docid_map"], "docid")
+    return doc_filter.select("doc_int").distinct()
+
+
+def _doc_slice(index, span, doc_filter=None):
     """Per-shard doc_stats slice for the WAND cogroup; carries a
-    ``deleted`` flag column when the index has tombstones so the kernel
-    can skip tombstoned docs before scoring."""
+    ``skip`` flag column when the index has tombstones and/or the query
+    has a doc_filter, so the kernel rejects those docs before scoring.
+    Filter semantics match the exact path: membership restricted,
+    collection stats stay global. (Docs absent from doc_stats cannot be
+    flagged — the lineage builders emit a doc_stats row for every doc,
+    so the set is total by construction.)"""
     ds = index["doc_stats"].select(
         ((F.col("doc_int") - 1) / F.lit(span)).cast("int").alias("shard"),
         "doc_int",
         "doc_len",
     )
+    skip = None
     ts = index.get("tombstones")
     if ts is not None:
         ds = ds.join(
-            ts.select("doc_int").withColumn("deleted", F.lit(True)),
+            ts.select("doc_int").withColumn("_dead", F.lit(True)),
             "doc_int",
             "left",
-        ).withColumn("deleted", F.coalesce("deleted", F.lit(False)))
+        )
+        skip = F.coalesce("_dead", F.lit(False))
+    flt = _resolve_doc_filter(index, doc_filter)
+    if flt is not None:
+        ds = ds.join(
+            flt.withColumn("_in", F.lit(True)), "doc_int", "left"
+        )
+        notin = F.coalesce("_in", F.lit(False)) == F.lit(False)
+        skip = notin if skip is None else (skip | notin)
+    if skip is not None:
+        ds = ds.withColumn("skip", skip).drop("_dead", "_in")
     return ds
 
 
 def _deleted_mask(d_pdf, span, lo):
-    """Bool mask (indexed like doc_len) of tombstoned docs in a shard's
-    doc_stats slice, or None when the shard has no deletes."""
-    if "deleted" not in d_pdf.columns or not len(d_pdf):
+    """Bool mask (indexed like doc_len) of the docs a shard's kernel
+    must not score (tombstoned and/or outside the doc_filter), or None
+    when nothing is flagged."""
+    if "skip" not in d_pdf.columns or not len(d_pdf):
         return None
-    flags = d_pdf["deleted"].to_numpy().astype(bool)
+    flags = d_pdf["skip"].to_numpy().astype(bool)
     if not flags.any():
         return None
     mask = np.zeros(span + 1, dtype=bool)
@@ -401,8 +429,13 @@ def wand_search(
     b: float = B,
     n_shards: int | None = None,
     docs_per_shard: int = 4_000_000,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed Block-Max WAND: one kernel task per docid-range shard.
+
+    ``doc_filter`` (doc_int or docid column): filtered retrieval on the
+    WAND path — membership restricted, stats global, rank-identical to
+    ``search(..., doc_filter=...)`` with mode="or" (pytest).
 
     The query terms' posting rows (a term-pruned scan) are block-sliced
     into per-shard sub-blobs (:func:`_explode_to_shards`), cogrouped
@@ -432,7 +465,7 @@ def wand_search(
         "term", "df", "postings", "blocks"
     )
     shard_rows = rows.mapInPandas(_explode_to_shards(span), _SHARD_ROWS_DDL)
-    ds = _doc_slice(index, span)
+    ds = _doc_slice(index, span, doc_filter)
 
     def _kernel(key, p_pdf: pd.DataFrame, d_pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])
@@ -500,8 +533,12 @@ def wand_search_batch(
     b: float = B,
     n_shards: int | None = None,
     docs_per_shard: int = 4_000_000,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Score MANY queries in ONE job on the sharded WAND serving path.
+
+    ``doc_filter`` applies to every query in the batch (per-query
+    filters belong in separate batches — they change the shard masks).
 
     This is the batch analog of :func:`wand_search` and the engine's
     scale-right query architecture: the union of all queries' posting
@@ -538,7 +575,7 @@ def wand_search_batch(
         "term", "df", "postings", "blocks"
     )
     shard_rows = rows.mapInPandas(_explode_to_shards(span), _SHARD_ROWS_DDL)
-    ds = _doc_slice(index, span)
+    ds = _doc_slice(index, span, doc_filter)
 
     def _kernel(key, p_pdf: pd.DataFrame, d_pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])

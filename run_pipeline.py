@@ -119,6 +119,20 @@ def cmd_index(args) -> None:
     spark.stop()
 
 
+def _cli_doc_filter(spark, args):
+    """--filter-from/--filter-where -> a docid frame (or None)."""
+    if not args.filter_from:
+        return None
+    from pyspark.sql import functions as F
+
+    doc_filter = spark.read.parquet(args.filter_from)
+    if args.filter_where:
+        doc_filter = doc_filter.filter(args.filter_where)
+    return doc_filter.select(
+        F.col(args.filter_id_col).cast("string").alias("docid")
+    )
+
+
 def cmd_search(args) -> None:
     from large_scale_hypertextual_search_engine_spark.plans.lineage import load_index
     from large_scale_hypertextual_search_engine_spark.operators.query import search_text
@@ -178,18 +192,12 @@ def cmd_search(args) -> None:
             terms = tokenize_simple(args.query)
         else:
             terms = [t.term for t in tokenize_compat(args.query, stem=args.stem)]
-        res = wand_search(idx, terms, top_k=args.top_k, tf_mode=args.tf_mode)
+        res = wand_search(
+            idx, terms, top_k=args.top_k, tf_mode=args.tf_mode,
+            doc_filter=_cli_doc_filter(spark, args),
+        )
     else:
-        doc_filter = None
-        if args.filter_from:
-            from pyspark.sql import functions as F
-
-            doc_filter = spark.read.parquet(args.filter_from)
-            if args.filter_where:
-                doc_filter = doc_filter.filter(args.filter_where)
-            doc_filter = doc_filter.select(
-                F.col(args.filter_id_col).cast("string").alias("docid")
-            )
+        doc_filter = _cli_doc_filter(spark, args)
         if args.boost_from:
             from large_scale_hypertextual_search_engine_spark.operators.linkrank import (
                 search_boosted,

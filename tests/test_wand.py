@@ -126,3 +126,57 @@ def test_wand_batch_matches_exact(spark, idx, n_shards):
         assert [d for _, d, _ in mine] == [r["docid"] for r in exact], terms
         for (_, _, s), e in zip(mine, exact):
             assert s == pytest.approx(e["score"], rel=1e-9)
+
+
+@pytest.mark.parametrize("n_shards", [1, 3])
+def test_wand_doc_filter_matches_exact(spark, idx, n_shards):
+    """Filtered retrieval on the WAND path: rank-identical to the exact
+    path with the same doc_filter (membership restricted, stats
+    global), for doc_int- and docid-keyed filters."""
+    flt_int = idx["docid_map"].filter(F.col("doc_int") % 3 == 0).select(
+        "doc_int"
+    )
+    flt_docid = idx["docid_map"].filter(F.col("doc_int") % 3 == 0).select(
+        "docid"
+    )
+    exact = (
+        search(idx, ["spark", "join"], top_k=10, mode="or",
+               doc_filter=flt_int)
+        .orderBy("rank")
+        .collect()
+    )
+    assert exact, "vacuous"
+    for flt in (flt_int, flt_docid):
+        got = (
+            wand_search(idx, ["spark", "join"], top_k=10,
+                        n_shards=n_shards, doc_filter=flt)
+            .orderBy("rank")
+            .collect()
+        )
+        assert [r["docid"] for r in got] == [r["docid"] for r in exact]
+        for g, e in zip(got, exact):
+            assert g["score"] == pytest.approx(e["score"], rel=1e-12)
+
+
+def test_wand_batch_doc_filter_matches_single(spark, idx):
+    from large_scale_hypertextual_search_engine_spark.operators.wand import (
+        wand_search_batch,
+    )
+
+    flt = idx["docid_map"].filter(F.col("doc_int") % 2 == 1).select("doc_int")
+    single = (
+        wand_search(idx, ["merge", "sort"], top_k=10, n_shards=2,
+                    doc_filter=flt)
+        .orderBy("rank")
+        .collect()
+    )
+    assert single, "vacuous"
+    got = (
+        wand_search_batch(idx, {3: ["merge", "sort"]}, top_k=10,
+                          n_shards=2, doc_filter=flt)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [(r["rank"], r["docid"], r["score"]) for r in got] == [
+        (r["rank"], r["docid"], r["score"]) for r in single
+    ]
