@@ -44,7 +44,10 @@ def _oracle_path(kind: str, sf_dir: str | None = None) -> str:
 
 
 _ORACLE_PATHS: dict[str, str] = {}
-for _kind in ("minhash_sigs", "simhash", "ivf", "ivf_centroids", "dup_pairs"):
+for _kind in (
+    "minhash_sigs", "simhash", "ivf", "ivf_centroids", "dup_pairs",
+    "merge_a", "merge_b", "merge_out",
+):
     _oracle_path(_kind, "/root/testdata/sf0.01")
 
 K1, B = 1.5, 0.75
@@ -237,6 +240,46 @@ def q_ft_facets(spark, sf_dir):
         _index(spark, sf_dir), ["spark", "join"], docs,
         ["lang", "source"], mode="and", top_n=5,
     )
+
+
+def q_ft_merged(spark, sf_dir):
+    """Index merge equivalence, oracle-checked end-to-end: the corpus
+    splits in two (by docid STRING order, so merged doc_int order
+    equals a fresh build's), each half builds its own on-disk index,
+    ``merge_indexes`` combines them, and BM25 over the merged index
+    must reproduce the plain full-corpus SQL — the FULL match set, no
+    top-k, so the row set is tie-break-proof. Half-builds resume via
+    the lineage fingerprints; only the merge reruns per call."""
+    import shutil
+
+    from large_scale_hypertextual_search_engine_spark.operators.merge_index import (
+        merge_indexes,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.query import (
+        search,
+    )
+    from large_scale_hypertextual_search_engine_spark.plans.lineage import (
+        build_and_save_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "cast(doc_id as string) as docid", "text as content"
+    )
+    da = _oracle_path("merge_a", sf_dir)
+    db = _oracle_path("merge_b", sf_dir)
+    do = _oracle_path("merge_out", sf_dir)
+    build_and_save_index(
+        docs.filter(F.col("docid") < "3"), da, "oracle-merge-a",
+        mode="simple", stem=False,
+    )
+    build_and_save_index(
+        docs.filter(F.col("docid") >= "3"), db, "oracle-merge-b",
+        mode="simple", stem=False,
+    )
+    shutil.rmtree(do, ignore_errors=True)
+    merged = merge_indexes(spark, da, db, do)
+    res = search(merged, ["spark", "join"], top_k=2**31 - 1, mode="and")
+    return res.select("docid", F.round("score", 6).alias("score"))
 
 
 def q_pagerank(spark, sf_dir):
@@ -919,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_fuzzy": q_ft_fuzzy,
         "pagerank_top": q_pagerank,
         "ft_facets": q_ft_facets,
+        "ft_merged": q_ft_merged,
         "ft_bm25_and_compat": q_ft_bm25_and_compat,
         "ft_bm25_or": q_ft_bm25_or,
         "ft_bm25_wand": q_ft_bm25_wand,
@@ -1475,6 +1519,28 @@ ORDER BY dist ASC, tf DESC, term ASC LIMIT 5""",
         "ft_boolean": _boolean_true_sql(["merge", "spark"], ["join"]),
         "ft_boolean_near": _boolean_near_sql("fast", "key", 4, "merge"),
         "pagerank_top": _pagerank_sql(6, 0.85),
+        # merged(A, B) must reproduce the plain full-corpus BM25 — the
+        # FULL match set (no rank/limit), so ties cannot flake the hash
+        "ft_merged": f"""
+WITH {_TOKS},{_DL_STATS},
+tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ('spark', 'join') GROUP BY docid, term),
+dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
+cand AS (SELECT docid FROM tfs GROUP BY docid
+         HAVING COUNT(DISTINCT term) = (SELECT COUNT(*) FROM dfs)),
+scored AS (
+  SELECT t.docid,
+         SUM( ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+            * (((1.5 + 1.0) * t.tf) /
+               (1.5 * (1.0 - 0.75 + 0.75 * (l.doc_len / s.avg_dl)) + t.tf)) ) AS score
+  FROM tfs t
+  JOIN cand c ON c.docid = t.docid
+  JOIN dfs f ON f.term = t.term
+  JOIN dl l ON l.docid = t.docid
+  CROSS JOIN stats s
+  GROUP BY t.docid
+)
+SELECT docid, round(score, 6) AS score FROM scored""",
         "ft_facets": f"""
 WITH {_TOKS},
 tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks

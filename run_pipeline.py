@@ -605,6 +605,28 @@ def cmd_stats(args) -> None:
     print(json.dumps(out, indent=2))
 
 
+def cmd_merge(args) -> None:
+    """Merge two saved indexes over disjoint corpora into --out."""
+    from large_scale_hypertextual_search_engine_spark.operators.merge_index import (
+        merge_indexes,
+    )
+
+    spark = _spark("lshse-merge")
+    t0 = time.time()
+    idx = merge_indexes(spark, args.a, args.b, args.out)
+    row = idx["collection_stats"].collect()[0]
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "n_docs": int(row["n_docs"]),
+                "n_terms": idx["lexicon"].count(),
+                "wall_s": round(time.time() - t0, 2),
+            }
+        )
+    )
+
+
 def cmd_rank(args) -> None:
     """PageRank over a (src, dst) parquet edge list -> parquet
     (id, rank); prints the top-5 and mass check."""
@@ -870,6 +892,14 @@ def main() -> None:
     p = sub.add_parser("verify", help="per-row sha256 integrity check")
     p.add_argument("--input", required=True)
     p.set_defaults(fn=cmd_verify)
+
+    p = sub.add_parser(
+        "merge", help="merge two saved indexes (disjoint corpora)"
+    )
+    p.add_argument("--a", required=True, help="first index dir")
+    p.add_argument("--b", required=True, help="second index dir")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_merge)
 
     p = sub.add_parser("rank", help="PageRank over a parquet edge list")
     p.add_argument("--edges", required=True, help="parquet with (src, dst)")
