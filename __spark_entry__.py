@@ -242,6 +242,58 @@ def q_ft_facets(spark, sf_dir):
     )
 
 
+_BM25F_CACHE: dict[str, dict] = {}
+
+
+def _field_indexes(spark, sf_dir):
+    """Two per-field indexes (title = first 8 tokens, body = rest) over
+    the same document set — BM25F's scale-right layout: each field is
+    an ordinary index built by the unchanged builder."""
+    got = _BM25F_CACHE.get(sf_dir)
+    if got is not None:
+        return got
+    from large_scale_hypertextual_search_engine_spark.operators.index_build import (
+        build_index,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("toks", F.filter(F.split("text", " "), lambda x: x != ""))
+        .select(
+            F.col("doc_id").cast("string").alias("docid"),
+            F.array_join(F.slice("toks", 1, 8), " ").alias("title"),
+            F.array_join(
+                F.expr("slice(toks, 9, greatest(size(toks) - 8, 1))"), " "
+            ).alias("body"),
+        )
+    )
+    idxs = {
+        f: build_index(
+            docs.select("docid", F.col(f).alias("content")),
+            mode="simple", stem=False, salt_buckets=2,
+        )
+        for f in ("title", "body")
+    }
+    _BM25F_CACHE[sf_dir] = idxs
+    return idxs
+
+
+def q_ft_bm25f(spark, sf_dir):
+    """BM25F fielded retrieval (title weight 2, body 1): per-field tf
+    normalized by its own field length, weighted and summed BEFORE
+    saturation (Robertson & Zaragoza 2004). Full AND match set, no
+    rank, so the row set is tie-break-proof."""
+    from large_scale_hypertextual_search_engine_spark.operators.bm25f import (
+        search_bm25f,
+    )
+
+    res = search_bm25f(
+        _field_indexes(spark, sf_dir), {"title": 2.0, "body": 1.0},
+        ["spark", "join"], top_k=2**31 - 1, mode="and",
+    )
+    return res.select("docid", F.round("score", 6).alias("score"))
+
+
 def q_ft_merged(spark, sf_dir):
     """Index merge equivalence, oracle-checked end-to-end: the corpus
     splits in two (by docid STRING order, so merged doc_int order
@@ -963,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_top": q_pagerank,
         "ft_facets": q_ft_facets,
         "ft_merged": q_ft_merged,
+        "ft_bm25f": q_ft_bm25f,
         "ft_bm25_and_compat": q_ft_bm25_and_compat,
         "ft_bm25_or": q_ft_bm25_or,
         "ft_bm25_wand": q_ft_bm25_wand,
@@ -1519,6 +1572,43 @@ ORDER BY dist ASC, tf DESC, term ASC LIMIT 5""",
         "ft_boolean": _boolean_true_sql(["merge", "spark"], ["join"]),
         "ft_boolean_near": _boolean_near_sql("fast", "key", 4, "merge"),
         "pagerank_top": _pagerank_sql(6, 0.85),
+        "ft_bm25f": """
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS docid,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+fld AS (
+  SELECT docid, 'title' AS field, unnest(toks[1:8]) AS term FROM docs
+  UNION ALL
+  SELECT docid, 'body' AS field, unnest(toks[9:]) AS term FROM docs
+),
+len AS (SELECT docid, field, COUNT(*) AS dl FROM fld GROUP BY docid, field),
+nc AS (SELECT COUNT(*) AS n FROM documents),
+avgdl AS (SELECT field, SUM(dl) * 1.0 / (SELECT n FROM nc) AS ad
+          FROM len GROUP BY field),
+tfs AS (SELECT docid, field, term, COUNT(*) AS tf FROM fld
+        WHERE term IN ('spark', 'join') GROUP BY docid, field, term),
+wtf AS (
+  SELECT t.docid, t.term,
+         SUM( (CASE t.field WHEN 'title' THEN 2.0 ELSE 1.0 END) * t.tf
+              / (1.0 - 0.75 + 0.75 * (l.dl / a.ad)) ) AS tft
+  FROM tfs t
+  JOIN len l ON l.docid = t.docid AND l.field = t.field
+  JOIN avgdl a ON a.field = t.field
+  GROUP BY t.docid, t.term
+),
+dfs AS (SELECT term, COUNT(*) AS df FROM wtf GROUP BY term),
+scored AS (
+  SELECT w.docid,
+         SUM( ln(((SELECT n FROM nc) - f.df + 0.5) / (f.df + 0.5) + 1.0)
+              * w.tft / (1.5 + w.tft) ) AS score,
+         COUNT(*) AS n_found
+  FROM wtf w JOIN dfs f ON f.term = w.term
+  GROUP BY w.docid
+)
+SELECT docid, round(score, 6) AS score
+FROM scored WHERE n_found = 2""",
         # merged(A, B) must reproduce the plain full-corpus BM25 — the
         # FULL match set (no rank/limit), so ties cannot flake the hash
         "ft_merged": f"""

@@ -69,6 +69,9 @@ def cmd_index(args) -> None:
         spark.stop()
         return
     docs = spark.read.parquet(args.input)
+    if args.content_col != "content" and args.content_col in docs.columns:
+        # per-field index builds (BM25F): same corpus, one field column
+        docs = docs.withColumn("content", F.col(args.content_col))
     cols = set(docs.columns)
     if {"repo", "path", "commit", "content"} <= cols:
         # north-rule input shape: mint docid, enforce sha invariant
@@ -87,7 +90,10 @@ def cmd_index(args) -> None:
         )
     docs = docs.select("docid", "content")
 
-    fp = _fingerprint(args.input, f"{args.mode}:{args.stem}:{args.salt_buckets}")
+    fp = _fingerprint(
+        args.input,
+        f"{args.mode}:{args.stem}:{args.salt_buckets}:{args.content_col}",
+    )
     if not args.resume:
         fp = f"{fp}:{int(time.time())}"  # force full rebuild
     t0 = time.time()
@@ -605,6 +611,36 @@ def cmd_stats(args) -> None:
     print(json.dumps(out, indent=2))
 
 
+def cmd_search_bm25f(args) -> None:
+    """BM25F fielded retrieval over per-field indexes.
+    --field name=INDEX_DIR:WEIGHT (repeatable)."""
+    from large_scale_hypertextual_search_engine_spark.operators.bm25f import (
+        search_bm25f,
+    )
+    from large_scale_hypertextual_search_engine_spark.plans.lineage import (
+        load_index,
+    )
+
+    spark = _spark("lshse-bm25f")
+    fidx, weights = {}, {}
+    for spec in args.field:
+        name, rest = spec.split("=", 1)
+        d, w = rest.rsplit(":", 1)
+        fidx[name] = load_index(spark, d)
+        weights[name] = float(w)
+    t0 = time.time()
+    res = search_bm25f(
+        fidx, weights, args.query.lower().split(), top_k=args.top_k,
+        mode=args.mode,
+    ).collect()
+    for r in sorted(res, key=lambda r: r["rank"]):
+        print(f"{r['rank']:3d}  {r['score']:12.6f}  {r['docid']}")
+    print(json.dumps({
+        "latency_ms": round((time.time() - t0) * 1000, 1), "hits": len(res),
+    }))
+    spark.stop()
+
+
 def cmd_merge(args) -> None:
     """Merge two saved indexes over disjoint corpora into --out."""
     from large_scale_hypertextual_search_engine_spark.operators.merge_index import (
@@ -748,6 +784,9 @@ def main() -> None:
                    choices=["parquet", "cleaned-jsonl"],
                    help="cleaned-jsonl: index a (reference-produced) "
                         "cleaned.jsonl without re-extraction")
+    p.add_argument("--content-col", default="content",
+                   help="index this column as the document text (build "
+                        "one index per field for BM25F)")
     p.set_defaults(fn=cmd_index)
 
     p = sub.add_parser("clean", help="extracted TSV / CORD-19 JSON -> cleaned.jsonl")
@@ -892,6 +931,16 @@ def main() -> None:
     p = sub.add_parser("verify", help="per-row sha256 integrity check")
     p.add_argument("--input", required=True)
     p.set_defaults(fn=cmd_verify)
+
+    p = sub.add_parser(
+        "search-bm25f", help="BM25F fielded retrieval over per-field indexes"
+    )
+    p.add_argument("--field", action="append", required=True,
+                   metavar="NAME=DIR:WEIGHT")
+    p.add_argument("--query", required=True)
+    p.add_argument("--top-k", type=int, default=10)
+    p.add_argument("--mode", default="and", choices=["and", "or"])
+    p.set_defaults(fn=cmd_search_bm25f)
 
     p = sub.add_parser(
         "merge", help="merge two saved indexes (disjoint corpora)"
