@@ -242,6 +242,22 @@ def cmd_search(args) -> None:
             )
             if corr:
                 print(json.dumps({"did_you_mean": corr}))
+        elif args.also_index:
+            from large_scale_hypertextual_search_engine_spark.operators.federated import (
+                search_federated,
+            )
+
+            if args.analyzer == "simple":
+                terms = tokenize_simple(args.query)
+            else:
+                terms = [
+                    t.term for t in tokenize_compat(args.query, stem=args.stem)
+                ]
+            segs = [idx] + [load_index(spark, d) for d in args.also_index]
+            res = search_federated(
+                segs, terms, top_k=args.top_k, mode=args.mode,
+                tf_mode=args.tf_mode,
+            )
         else:
             res = search_text(
                 idx, args.query, top_k=args.top_k, mode=args.mode,
@@ -853,6 +869,12 @@ def main() -> None:
     p.add_argument("--facet-cols", default="lang,source",
                    help="comma-separated facet columns")
     p.add_argument("--facet-top-n", type=int, default=5)
+    p.add_argument(
+        "--also-index", action="append", default=None, metavar="DIR",
+        help="federated search: query --index PLUS these unmerged "
+             "segments (disjoint corpora) as one collection — identical "
+             "results to their physical merge (operators/federated.py)",
+    )
     p.add_argument(
         "--filter-from", default=None, metavar="PARQUET",
         help="filtered retrieval: restrict results to docids in this "

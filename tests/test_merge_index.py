@@ -141,3 +141,73 @@ def test_merge_carries_tombstones(spark, corpora, tmp_path_factory):
         for r in search(merged, ["join"], top_k=10**6, mode="and").collect()
     }
     assert got and not got & set(dead_b)
+
+
+# ---------------------------------------------------------- federated
+
+
+def test_federated_matches_merged(spark, merged_and_fresh):
+    """Querying [A, B] unmerged must equal querying merge(A, B) —
+    same offsets, same global stats, bit-equal scores."""
+    from large_scale_hypertextual_search_engine_spark.operators.federated import (
+        search_federated,
+    )
+
+    merged, _, da, db = merged_and_fresh
+    ia, ib = load_index(spark, da), load_index(spark, db)
+    for terms, mode in [(["join", "spark"], "and"), (["join", "spark"], "or")]:
+        want = sorted(
+            (r["rank"], r["doc_int"], r["docid"], r["score"])
+            for r in search(merged, terms, top_k=10, mode=mode).collect()
+        )
+        got = sorted(
+            (r["rank"], r["doc_int"], r["docid"], r["score"])
+            for r in search_federated(
+                [ia, ib], terms, top_k=10, mode=mode
+            ).collect()
+        )
+        assert got == want, (terms, mode)
+        assert len(got) == 10
+
+
+def test_federated_single_index_is_plain_search(spark, merged_and_fresh):
+    from large_scale_hypertextual_search_engine_spark.operators.federated import (
+        search_federated,
+    )
+
+    _, fresh, _, _ = merged_and_fresh
+    want = sorted(
+        (r["rank"], r["docid"], r["score"])
+        for r in search(fresh, ["merge"], top_k=10, mode="and").collect()
+    )
+    got = sorted(
+        (r["rank"], r["docid"], r["score"])
+        for r in search_federated([fresh], ["merge"], top_k=10,
+                                  mode="and").collect()
+    )
+    assert got == want and got
+
+
+def test_federated_respects_segment_tombstones(spark, corpora, tmp_path_factory):
+    from large_scale_hypertextual_search_engine_spark.operators.deletes import (
+        delete_docs,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.federated import (
+        search_federated,
+    )
+
+    _, half_a, half_b = corpora
+    da = str(tmp_path_factory.mktemp("fa"))
+    db = str(tmp_path_factory.mktemp("fb"))
+    build_and_save_index(half_a, da, "fed-a", mode="simple", stem=False)
+    build_and_save_index(half_b, db, "fed-b", mode="simple", stem=False)
+    dead = [r["docid"] for r in half_b.limit(4).collect()]
+    assert delete_docs(spark, db, dead) == 4
+    got = {
+        r["docid"]
+        for r in search_federated(
+            [load_index(spark, da), load_index(spark, db)],
+            ["join"], top_k=10**6, mode="and",
+        ).collect()
+    }
+    assert got and not got & set(dead)
