@@ -108,6 +108,26 @@ class DeletionIndex:
         sigs = lex.select(sig.alias("sig"), "term", "tf")
         return cls(sigs, max_dist)
 
+    def save(self, path: str) -> None:
+        """Persist the signature table (partition-friendly parquet) +
+        a max_dist sidecar; at cluster scale prefer ``bucketBy(sig)``
+        into a table so a lookup touches one bucket."""
+        import json
+        from pathlib import Path
+
+        self.sigs.write.mode("overwrite").parquet(path)
+        (Path(path) / "_deletion_index.json").write_text(
+            json.dumps({"max_dist": self.max_dist})
+        )
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "DeletionIndex":
+        import json
+        from pathlib import Path
+
+        meta = json.loads((Path(path) / "_deletion_index.json").read_text())
+        return cls(spark.read.parquet(path), int(meta["max_dist"]))
+
     def lookup(
         self, spark: SparkSession, word: str, top_n: int = 5
     ) -> DataFrame:

@@ -573,7 +573,25 @@ def cmd_suggest(args) -> None:
     from large_scale_hypertextual_search_engine_spark.plans.lineage import load_index
 
     spark = _spark("lshse-suggest")
-    lex = load_index(spark, args.index)["lexicon"]
+    idx = load_index(spark, args.index)
+    lex = idx["lexicon"]
+    if args.fuzzy:
+        from large_scale_hypertextual_search_engine_spark.operators.fuzzy import (
+            fuzzy_candidates,
+        )
+
+        t0 = time.time()
+        hits = fuzzy_candidates(
+            idx, args.prefix, max_dist=args.max_dist, top_n=args.top_k
+        ).collect()
+        for r in hits:
+            print(f"  d={r['dist']}  {r['tf']:10d}  {r['term']}")
+        print(json.dumps({
+            "word": args.prefix, "hits": len(hits),
+            "latency_ms": round((time.time() - t0) * 1000, 1),
+        }))
+        spark.stop()
+        return
     srv = AutocompleteServer(lex)
     if args.interactive:
         import sys as _sys
@@ -910,6 +928,11 @@ def main() -> None:
     p.add_argument("--top-k", type=int, default=10)
     p.add_argument("--interactive", action="store_true",
                    help="warm stdin prompt loop (collected-lexicon server)")
+    p.add_argument("--fuzzy", action="store_true",
+                   help="treat --prefix as a (possibly misspelled) word: "
+                        "edit-distance candidates instead of prefix matches")
+    p.add_argument("--max-dist", type=int, default=1,
+                   help="with --fuzzy: maximum edit distance")
     p.set_defaults(fn=cmd_suggest)
 
     p = sub.add_parser("ann", help="approximate nearest neighbors (lsh|ivf)")

@@ -111,3 +111,14 @@ def test_fuzzy_plan_is_jvm_only(spark, fidx):
     assert "levenshtein" in query_plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in query_plan, plan
+
+
+def test_deletion_index_save_load_roundtrip(spark, fidx, tmp_path):
+    path = str(tmp_path / "delidx")
+    di = DeletionIndex.build(fidx, max_dist=1)
+    di.save(path)
+    loaded = DeletionIndex.load(spark, path)
+    assert loaded.max_dist == 1
+    a = [tuple(r) for r in di.lookup(spark, "joim", top_n=5).collect()]
+    b = [tuple(r) for r in loaded.lookup(spark, "joim", top_n=5).collect()]
+    assert a == b and a

@@ -60,3 +60,58 @@ def test_incremental_stream_matches_batch(spark, tmp_path):
         return out
 
     assert perdoc(streamed) == perdoc(batch)
+
+
+def test_nrt_federated_base_plus_streamed_delta(spark, tmp_path):
+    """The live pipeline: a batch-built base index + a Structured-
+    Streaming delta queried together via search_federated must answer
+    exactly like a fresh build over the whole corpus (full match set,
+    rounded scores — doc_int assignment differs by construction)."""
+    from large_scale_hypertextual_search_engine_spark.operators.federated import (
+        search_federated,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.query import (
+        search,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("cast(doc_id as string) as docid", "text as content")
+        .filter(F.col("docid").cast("long") < 200)
+        .cache()
+    )
+    base_docs = docs.filter(F.col("docid").cast("long") < 150)
+    new_docs = docs.filter(F.col("docid").cast("long") >= 150)
+
+    base = build_index(base_docs, mode="simple", stem=False, salt_buckets=2)
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    new_docs.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema("docid string, content string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    index_stream(stream, out, ck, mode="simple", stem=False).awaitTermination(
+        120
+    )
+    delta = delta_index(spark, out)
+
+    fresh = build_index(docs, mode="simple", stem=False, salt_buckets=2)
+    for terms, mode in [(["join", "spark"], "and"), (["merge"], "or")]:
+        want = sorted(
+            (r["docid"], round(r["score"], 9))
+            for r in search(fresh, terms, top_k=10**6, mode=mode).collect()
+        )
+        got = sorted(
+            (r["docid"], round(r["score"], 9))
+            for r in search_federated(
+                [base, delta], terms, top_k=10**6, mode=mode
+            ).collect()
+        )
+        assert got == want, (terms, mode)
+        assert got
+        # the delta's docs are reachable through the federated view
+        assert any(int(d) >= 150 for d, _ in got), (terms, mode)
