@@ -116,11 +116,16 @@ def search_bm25f(
 
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cand = cand.repartition(npart, "doc_int")
-    # tf~ per (term, doc); df = docs containing the term in ANY field
+    # tf~ per (term, doc); df = docs containing the term in ANY field.
+    # df comes from a WINDOW over the aggregated frame, not a separate
+    # aggregate + self-join — referencing the frame twice would make
+    # Catalyst re-evaluate the whole per-field decode subtree (plan-
+    # asserted: exactly one MapInPandas per field)
     tft = cand.groupBy("term", "doc_int").agg(F.sum("wtf").alias("tft"))
-    dfs = tft.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
-        tft.join(F.broadcast(dfs), "term")
+        tft.withColumn(
+            "df", F.count("*").over(Window.partitionBy("term"))
+        )
         .withColumn(
             "tscore",
             F.log(

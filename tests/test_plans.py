@@ -133,3 +133,86 @@ def test_phrase_search_batch_plan_shape(spark, small_index):
     assert len(re.findall(r"MapInPandas", plan)) == 1, plan
     assert len(re.findall(r"REPARTITION_BY_NUM", plan)) == 1, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_facets_single_aggregation_exchange(spark, small_index):
+    """N facet dimensions must share ONE aggregation: exactly one
+    explode (the melt) and one count-aggregate pair over it."""
+    from large_scale_hypertextual_search_engine_spark.operators.facets import (
+        search_facets,
+    )
+
+    facets = spark.createDataFrame(
+        [(i, "en", "src") for i in range(1, 121)],
+        "doc_int long, lang string, source string",
+    )
+    plan = _plan(
+        search_facets(small_index, ["the"], facets, ["lang", "source"], top_n=5)
+    )
+    assert len(re.findall(r"Generate explode", plan)) == 1, plan
+    # one decode of the postings total (the membership pass)
+    assert len(re.findall(r"MapInPandas", plan)) == 1, plan
+
+
+def test_bm25f_decodes_once_per_field(spark, small_index, tmp_path_factory):
+    """BM25F must scan/decode each FIELD index exactly once."""
+    from large_scale_hypertextual_search_engine_spark.operators.bm25f import (
+        search_bm25f,
+    )
+    from large_scale_hypertextual_search_engine_spark.plans.lineage import (
+        build_and_save_index, load_index,
+    )
+
+    out2 = str(tmp_path_factory.mktemp("planidx2"))
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("cast(doc_id as string) as docid", "text as content")
+        .limit(120)
+    )
+    build_and_save_index(docs, out2, "plan-test2", mode="simple", stem=False)
+    idx2 = load_index(spark, out2)
+    plan = _plan(
+        search_bm25f(
+            {"title": small_index, "body": idx2},
+            {"title": 2.0, "body": 1.0},
+            ["the"], top_k=5,
+        )
+    )
+    assert len(re.findall(r"MapInPandas", plan)) == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_federated_decodes_once_per_segment(spark, small_index, tmp_path_factory):
+    from large_scale_hypertextual_search_engine_spark.operators.federated import (
+        search_federated,
+    )
+    from large_scale_hypertextual_search_engine_spark.plans.lineage import (
+        build_and_save_index, load_index,
+    )
+
+    out2 = str(tmp_path_factory.mktemp("planidx3"))
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("cast(doc_id as string) as docid", "text as content")
+        .filter(F.col("docid").cast("long").between(200, 320))
+    )
+    build_and_save_index(docs, out2, "plan-test3", mode="simple", stem=False)
+    seg2 = load_index(spark, out2)
+    plan = _plan(
+        search_federated([small_index, seg2], ["the"], top_k=5, mode="or")
+    )
+    assert len(re.findall(r"MapInPandas", plan)) == 2, plan
+    # one candidate exchange: the explicit doc_int repartition
+    assert len(re.findall(r"REPARTITION_BY_NUM", plan)) == 1, plan
+
+
+def test_tombstone_free_plan_unchanged(spark, small_index):
+    """An index WITHOUT tombstones must produce a plan with no
+    anti-join — exclude_tombstones is a strict no-op."""
+    from large_scale_hypertextual_search_engine_spark.operators.query import (
+        search,
+    )
+
+    assert "tombstones" not in small_index
+    plan = _plan(search(small_index, ["the"], top_k=5))
+    assert "LeftAnti" not in plan, plan
