@@ -195,6 +195,43 @@ def main() -> None:
         ssrv.search_boolean("(spark OR merge) AND NOT join", top_k=10)
     extra["boolean_warm_ms"] = round((time.time() - t0) * 1000 / 50, 3)
 
+    # --- round-4 capability extras (single sample each: these are
+    # feature coverage timings, not headline scoreboard entries) ---
+    from large_scale_hypertextual_search_engine_spark.operators.facets import (
+        search_facets,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.fuzzy import (
+        fuzzy_candidates,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.linkrank import (
+        pagerank,
+    )
+
+    docs_meta = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("docid"), "lang", "source"
+    )
+    t0 = time.time()
+    search_facets(
+        idx, ["spark", "join"], docs_meta, ["lang", "source"], top_n=5
+    ).count()
+    extra["facets_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    fuzzy_candidates(idx, "sprak", max_dist=2, top_n=5).count()
+    extra["fuzzy_s"] = round(time.time() - t0, 3)
+    nd = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    edges = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 5 != 0)
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + 1) % nd).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    t0 = time.time()
+    pagerank(edges, n_iter=6).count()
+    extra["pagerank6_s"] = round(time.time() - t0, 3)
+
     # --- training-data ops ---
     raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed(
