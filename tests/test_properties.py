@@ -148,3 +148,74 @@ def test_fingerprint_kernel_matches_bigint_horner(texts):
     got = _fingerprint_batch(pd.Series(texts))
     want = [fingerprint_py(t) for t in texts]
     assert [int(v) for v in got] == want
+
+
+# ------------------------------------------------- boolean parser AST
+
+
+def _render(node) -> str:
+    """Render an AST back to query syntax (parenthesized, unambiguous)."""
+    from large_scale_hypertextual_search_engine_spark.operators.boolsearch import (
+        And, Near, Not, Or, Phrase, Term,
+    )
+
+    if isinstance(node, Term):
+        return node.term
+    if isinstance(node, Phrase):
+        return '"' + " ".join(node.terms) + '"'
+    if isinstance(node, Near):
+        op = f"PRE/{node.slop}" if node.ordered else f"NEAR/{node.slop}"
+        return f"({node.a} {op} {node.b})"
+    if isinstance(node, Not):
+        return f"NOT {_render(node.child)}"
+    if isinstance(node, And):
+        return "(" + " AND ".join(_render(c) for c in node.children) + ")"
+    return "(" + " OR ".join(_render(c) for c in node.children) + ")"
+
+
+def _ast_strategy():
+    from large_scale_hypertextual_search_engine_spark.operators.boolsearch import (
+        And, Near, Not, Or, Phrase, Term,
+    )
+
+    word = st.from_regex(r"[a-z]{1,6}", fullmatch=True).filter(
+        lambda w: w not in ("and", "or", "not")
+        and not w.startswith(("near", "pre"))
+    )
+    term = st.builds(Term, word)
+    phrase = st.builds(
+        lambda ws: Phrase(tuple(ws)),
+        st.lists(word, min_size=2, max_size=4),
+    )
+    near = st.builds(
+        Near, word, word, st.integers(1, 9), st.booleans()
+    )
+    leaf = st.one_of(term, phrase, near)
+
+    def extend(children):
+        return st.one_of(
+            st.builds(
+                lambda c: And(tuple(c)),
+                st.lists(children, min_size=2, max_size=3),
+            ),
+            st.builds(
+                lambda c: Or(tuple(c)),
+                st.lists(children, min_size=2, max_size=3),
+            ),
+            st.builds(Not, children),
+        )
+
+    return st.recursive(leaf, extend, max_leaves=8)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_ast_strategy())
+def test_boolean_parser_roundtrips_rendered_ast(node):
+    """parse(render(ast)) == ast for arbitrary ASTs — the parser and
+    the documented grammar agree everywhere, not just on the fixture
+    queries (precedence, NOT nesting, phrase atoms, NEAR/PRE leaves)."""
+    from large_scale_hypertextual_search_engine_spark.operators.boolsearch import (
+        parse_query,
+    )
+
+    assert parse_query(_render(node)) == node
