@@ -242,6 +242,37 @@ def q_ft_facets(spark, sf_dir):
     )
 
 
+def q_keywords(spark, sf_dir):
+    """TF-IDF keyword extraction: top-3 terms per document by smoothed
+    tf·idf (tf · ln((N+1)/(df+1))) — the doc-tagging staple of corpus
+    curation. Pure Column pipeline, two aggregates + one window."""
+    from large_scale_hypertextual_search_engine_spark.operators.keywords import (
+        extract_keywords,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_keywords(docs, "text", "doc_id", top_n=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term", F.col("tf").cast("long").alias("tf"), "tfidf", "rank",
+    )
+
+
+def q_collocations(spark, sf_dir):
+    """PMI collocation mining over adjacent bigrams (min_count=5,
+    top-50 by rounded PMI): surfaces the multiword units worth indexing
+    or filtering. Marginals counted over bigram slots, so the measure
+    is the exact bigram-table PMI."""
+    from large_scale_hypertextual_search_engine_spark.operators.keywords import (
+        collocations,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return collocations(docs, "text", min_count=5, top_n=50).select(
+        "term_a", "term_b", F.col("n_pair").cast("long").alias("n_pair"),
+        "pmi",
+    )
+
+
 _BM25F_CACHE: dict[str, dict] = {}
 
 
@@ -1016,6 +1047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facets": q_ft_facets,
         "ft_merged": q_ft_merged,
         "ft_bm25f": q_ft_bm25f,
+        "keywords_tfidf": q_keywords,
+        "collocations_pmi": q_collocations,
         "ft_bm25_and_compat": q_ft_bm25_and_compat,
         "ft_bm25_or": q_ft_bm25_or,
         "ft_bm25_wand": q_ft_bm25_wand,
@@ -1572,6 +1605,54 @@ ORDER BY dist ASC, tf DESC, term ASC LIMIT 5""",
         "ft_boolean": _boolean_true_sql(["merge", "spark"], ["join"]),
         "ft_boolean_near": _boolean_near_sql("fast", "key", 4, "merge"),
         "pagerank_top": _pagerank_sql(6, 0.85),
+        "keywords_tfidf": """
+WITH toks AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nc AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         t.tf * ln(((SELECT n FROM nc) + 1.0) / (f.df + 1.0)) AS tfidf0
+  FROM tf t JOIN dfs f ON f.term = t.term
+),
+ranked AS (
+  SELECT doc_id, term, tf, round(tfidf0, 6) AS tfidf,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf0 DESC, tf DESC, term ASC
+         ) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 3""",
+        "collocations_pmi": """
+WITH d AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(
+           generate_series(1, len(t) - 1),
+           i -> {'term_a': t[i], 'term_b': t[i + 1]}
+         ), recursive := true)
+  FROM d WHERE len(t) >= 2
+),
+np AS (SELECT COUNT(*) AS n FROM pairs),
+ab AS (SELECT term_a, term_b, COUNT(*) AS n_pair FROM pairs GROUP BY 1, 2),
+la AS (SELECT term_a, COUNT(*) AS n_a FROM pairs GROUP BY 1),
+rb AS (SELECT term_b, COUNT(*) AS n_b FROM pairs GROUP BY 1),
+ranked AS (
+  SELECT ab.term_a, ab.term_b, ab.n_pair,
+         round(ln(ab.n_pair * 1.0 * (SELECT n FROM np)
+                  / (la.n_a * 1.0 * rb.n_b)), 6) AS pmi
+  FROM ab JOIN la USING (term_a) JOIN rb USING (term_b)
+  WHERE ab.n_pair >= 5
+)
+SELECT term_a, term_b, n_pair, pmi FROM ranked
+ORDER BY pmi DESC, n_pair DESC, term_a ASC, term_b ASC
+LIMIT 50""",
         "ft_bm25f": """
 WITH docs AS (
   SELECT CAST(doc_id AS VARCHAR) AS docid,

@@ -645,6 +645,31 @@ def cmd_stats(args) -> None:
     print(json.dumps(out, indent=2))
 
 
+def cmd_analyze(args) -> None:
+    """Corpus statistics: TF-IDF keywords per doc or PMI collocations."""
+    from large_scale_hypertextual_search_engine_spark.operators.keywords import (
+        collocations, extract_keywords,
+    )
+
+    spark = _spark("lshse-analyze")
+    docs = spark.read.parquet(args.input)
+    if args.what == "keywords":
+        res = extract_keywords(
+            docs, args.text_col, args.id_col, top_n=args.top_n,
+            min_df=args.min_df,
+        )
+    else:
+        res = collocations(
+            docs, args.text_col, min_count=args.min_count, top_n=args.top_n
+        )
+    if args.out:
+        res.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out, "rows": res.count()}))
+    else:
+        for r in res.limit(25).collect():
+            print("  " + "  ".join(str(v) for v in r))
+
+
 def cmd_search_bm25f(args) -> None:
     """BM25F fielded retrieval over per-field indexes.
     --field name=INDEX_DIR:WEIGHT (repeatable)."""
@@ -976,6 +1001,19 @@ def main() -> None:
     p = sub.add_parser("verify", help="per-row sha256 integrity check")
     p.add_argument("--input", required=True)
     p.set_defaults(fn=cmd_verify)
+
+    p = sub.add_parser(
+        "analyze", help="corpus stats: tf-idf keywords / PMI collocations"
+    )
+    p.add_argument("what", choices=["keywords", "collocations"])
+    p.add_argument("--input", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--top-n", type=int, default=5)
+    p.add_argument("--min-df", type=int, default=1)
+    p.add_argument("--min-count", type=int, default=5)
+    p.add_argument("--out", default=None, help="write parquet instead of print")
+    p.set_defaults(fn=cmd_analyze)
 
     p = sub.add_parser(
         "search-bm25f", help="BM25F fielded retrieval over per-field indexes"
