@@ -242,6 +242,48 @@ def q_ft_facets(spark, sf_dir):
     )
 
 
+def q_ft_ql(spark, sf_dir):
+    """Dirichlet query-likelihood ranking (Zhai & Lafferty 2001,
+    mu=2000): the standard LM alternative to BM25, over the same
+    decoded candidates — absent-term mass folded into a per-query
+    constant so only present rows are touched."""
+    from large_scale_hypertextual_search_engine_spark.operators.ranking import (
+        search_ql,
+    )
+
+    res = search_ql(_index(spark, sf_dir), ["spark", "join"], top_k=10,
+                    mu=2000.0)
+    return res.select(
+        "docid", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_ft_hybrid(spark, sf_dir):
+    """Hybrid lexical+dense retrieval via reciprocal-rank fusion
+    (Cormack et al. 2009, k=60): BM25 OR top-50 fused with brute-cosine
+    top-50 over the embeddings table — the standard combiner because
+    only RANKS cross the fusion, never the incomparable score scales."""
+    from large_scale_hypertextual_search_engine_spark.operators.ranking import (
+        hybrid_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    res = hybrid_search(
+        _index(spark, sf_dir), emb, ["spark", "join"], qvec,
+        top_k=10, depth=50, k_rrf=60,
+    )
+    return res.select(
+        "docid", F.col("rank").cast("int").alias("rank"), "rrf",
+        F.col("bm25_rank").cast("int").alias("bm25_rank"),
+        F.col("cos_rank").cast("int").alias("cos_rank"),
+    )
+
+
 def q_keywords(spark, sf_dir):
     """TF-IDF keyword extraction: top-3 terms per document by smoothed
     tf·idf (tf · ln((N+1)/(df+1))) — the doc-tagging staple of corpus
@@ -1049,6 +1091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25f": q_ft_bm25f,
         "keywords_tfidf": q_keywords,
         "collocations_pmi": q_collocations,
+        "ft_ql": q_ft_ql,
+        "ft_hybrid": q_ft_hybrid,
         "ft_bm25_and_compat": q_ft_bm25_and_compat,
         "ft_bm25_or": q_ft_bm25_or,
         "ft_bm25_wand": q_ft_bm25_wand,
@@ -1605,6 +1649,82 @@ ORDER BY dist ASC, tf DESC, term ASC LIMIT 5""",
         "ft_boolean": _boolean_true_sql(["merge", "spark"], ["join"]),
         "ft_boolean_near": _boolean_near_sql("fast", "key", 4, "merge"),
         "pagerank_top": _pagerank_sql(6, 0.85),
+        "ft_ql": f"""
+WITH {_TOKS},{_DL_STATS},
+tot AS (SELECT SUM(doc_len) AS n FROM dl),
+ctf AS (SELECT term, COUNT(*) AS ctf FROM toks
+        WHERE term IN ('spark', 'join') GROUP BY term),
+mup AS (SELECT term, 2000.0 * ctf / (SELECT n FROM tot) AS mup FROM ctf),
+cq AS (SELECT SUM(ln(mup)) AS c, COUNT(*) AS k FROM mup),
+tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ('spark', 'join') GROUP BY docid, term),
+scored AS (
+  SELECT t.docid,
+         (SELECT c FROM cq)
+         + SUM(ln(t.tf + m.mup) - ln(m.mup))
+         - (SELECT k FROM cq) * ln(l.doc_len + 2000.0) AS score
+  FROM tfs t
+  JOIN mup m ON m.term = t.term
+  JOIN dl l ON l.docid = t.docid
+  GROUP BY t.docid, l.doc_len
+)
+SELECT docid,
+       CAST(row_number() OVER (ORDER BY score DESC, docid ASC) AS INT) AS rank,
+       round(score, 6) AS score
+FROM scored ORDER BY score DESC, docid ASC LIMIT 10""",
+        "ft_hybrid": f"""
+WITH {_TOKS},{_DL_STATS},
+tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ('spark', 'join') GROUP BY docid, term),
+dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
+cand AS (SELECT docid FROM tfs GROUP BY docid),
+bscored AS (
+  SELECT t.docid,
+         SUM( ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+            * (((1.5 + 1.0) * t.tf) /
+               (1.5 * (1.0 - 0.75 + 0.75 * (l.doc_len / s.avg_dl)) + t.tf)) ) AS score
+  FROM tfs t
+  JOIN cand c ON c.docid = t.docid
+  JOIN dfs f ON f.term = t.term
+  JOIN dl l ON l.docid = t.docid
+  CROSS JOIN stats s
+  GROUP BY t.docid
+),
+bm AS (
+  SELECT docid,
+         CAST(row_number() OVER (ORDER BY score DESC, docid ASC) AS INT)
+           AS bm25_rank
+  FROM bscored ORDER BY score DESC, docid ASC LIMIT 50
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cscored AS (
+  SELECT e.vec_id,
+    list_sum(list_transform(generate_series(1, len(e.embedding)),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+    / ( sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+      * sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+          i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) ) AS score
+  FROM embeddings e CROSS JOIN q
+),
+cs AS (
+  SELECT CAST(vec_id AS VARCHAR) AS docid,
+         CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS INT)
+           AS cos_rank
+  FROM cscored ORDER BY score DESC, vec_id ASC LIMIT 50
+),
+fused AS (
+  SELECT COALESCE(bm.docid, cs.docid) AS docid, bm.bm25_rank, cs.cos_rank,
+         COALESCE(1.0 / (60 + bm.bm25_rank), 0)
+         + COALESCE(1.0 / (60 + cs.cos_rank), 0) AS rrf0
+  FROM bm FULL OUTER JOIN cs ON cs.docid = bm.docid
+)
+SELECT docid,
+       CAST(row_number() OVER (ORDER BY rrf0 DESC, docid ASC) AS INT) AS rank,
+       round(rrf0, 9) AS rrf,
+       COALESCE(bm25_rank, 0) AS bm25_rank,
+       COALESCE(cos_rank, 0) AS cos_rank
+FROM fused ORDER BY rrf0 DESC, docid ASC LIMIT 10""",
         "keywords_tfidf": """
 WITH toks AS (
   SELECT doc_id, term FROM (

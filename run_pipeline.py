@@ -204,7 +204,43 @@ def cmd_search(args) -> None:
         )
     else:
         doc_filter = _cli_doc_filter(spark, args)
-        if args.boost_from:
+        if args.ql:
+            from large_scale_hypertextual_search_engine_spark.operators.ranking import (
+                search_ql,
+            )
+
+            if args.analyzer == "simple":
+                terms = tokenize_simple(args.query)
+            else:
+                terms = [
+                    t.term for t in tokenize_compat(args.query, stem=args.stem)
+                ]
+            res = search_ql(idx, terms, top_k=args.top_k, mu=args.mu)
+        elif args.hybrid_embeddings:
+            from pyspark.sql import functions as F
+
+            from large_scale_hypertextual_search_engine_spark.operators.ranking import (
+                hybrid_search,
+            )
+
+            if args.analyzer == "simple":
+                terms = tokenize_simple(args.query)
+            else:
+                terms = [
+                    t.term for t in tokenize_compat(args.query, stem=args.stem)
+                ]
+            emb = spark.read.parquet(args.hybrid_embeddings)
+            qvec = [
+                float(x)
+                for x in emb.filter(
+                    F.col("vec_id") == args.qvec_id
+                ).collect()[0]["embedding"]
+            ]
+            res = hybrid_search(
+                idx, emb, terms, qvec, top_k=args.top_k,
+                depth=args.hybrid_depth, k_rrf=args.k_rrf,
+            ).withColumnRenamed("rrf", "score")
+        elif args.boost_from:
             from large_scale_hypertextual_search_engine_spark.operators.linkrank import (
                 search_boosted,
             )
@@ -912,6 +948,21 @@ def main() -> None:
     p.add_argument("--facet-cols", default="lang,source",
                    help="comma-separated facet columns")
     p.add_argument("--facet-top-n", type=int, default=5)
+    p.add_argument(
+        "--ql", action="store_true",
+        help="rank by Dirichlet query likelihood instead of BM25",
+    )
+    p.add_argument("--mu", type=float, default=2000.0,
+                   help="with --ql: Dirichlet smoothing mass")
+    p.add_argument(
+        "--hybrid-embeddings", default=None, metavar="PARQUET",
+        help="hybrid retrieval: RRF-fuse BM25 with cosine top-k over "
+             "this embeddings table (operators/ranking.py)",
+    )
+    p.add_argument("--qvec-id", type=int, default=0,
+                   help="with --hybrid-embeddings: query vector's vec_id")
+    p.add_argument("--hybrid-depth", type=int, default=100)
+    p.add_argument("--k-rrf", type=int, default=60)
     p.add_argument(
         "--also-index", action="append", default=None, metavar="DIR",
         help="federated search: query --index PLUS these unmerged "
