@@ -284,6 +284,29 @@ def q_ft_hybrid(spark, sf_dir):
     )
 
 
+def q_ft_rm3(spark, sf_dir):
+    """Pseudo-relevance feedback (RM3/Rocchio): AND top-10 of
+    (spark, join) feeds back its top-2 tf·idf-weighted new terms, the
+    expanded query re-runs in OR mode — a real implementation of the
+    SemanticExpander the reference declares but never defines (Q13)."""
+    from large_scale_hypertextual_search_engine_spark.operators.feedback import (
+        search_rm3,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("docid"),
+        F.col("text").alias("content"),
+    )
+    res, _expanded = search_rm3(
+        _index(spark, sf_dir), docs, ["spark", "join"], top_k=10,
+        fb_k=10, max_expansions=2,
+    )
+    return res.select(
+        "docid", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_keywords(spark, sf_dir):
     """TF-IDF keyword extraction: top-3 terms per document by smoothed
     tf·idf (tf · ln((N+1)/(df+1))) — the doc-tagging staple of corpus
@@ -1093,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_pmi": q_collocations,
         "ft_ql": q_ft_ql,
         "ft_hybrid": q_ft_hybrid,
+        "ft_rm3": q_ft_rm3,
         "ft_bm25_and_compat": q_ft_bm25_and_compat,
         "ft_bm25_or": q_ft_bm25_or,
         "ft_bm25_wand": q_ft_bm25_wand,
@@ -1649,6 +1673,58 @@ ORDER BY dist ASC, tf DESC, term ASC LIMIT 5""",
         "ft_boolean": _boolean_true_sql(["merge", "spark"], ["join"]),
         "ft_boolean_near": _boolean_near_sql("fast", "key", 4, "merge"),
         "pagerank_top": _pagerank_sql(6, 0.85),
+        "ft_rm3": f"""
+WITH {_TOKS},{_DL_STATS},
+qt0 AS (SELECT 'spark' AS term UNION ALL SELECT 'join'),
+tfs0 AS (SELECT docid, term, COUNT(*) AS tf FROM toks
+         WHERE term IN (SELECT term FROM qt0) GROUP BY docid, term),
+dfs0 AS (SELECT term, COUNT(*) AS df FROM tfs0 GROUP BY term),
+cand0 AS (SELECT docid FROM tfs0 GROUP BY docid
+          HAVING COUNT(DISTINCT term) = (SELECT COUNT(*) FROM dfs0)),
+fb AS (
+  SELECT t.docid
+  FROM tfs0 t
+  JOIN cand0 c ON c.docid = t.docid
+  JOIN dfs0 f ON f.term = t.term
+  JOIN dl l ON l.docid = t.docid
+  CROSS JOIN stats s
+  GROUP BY t.docid
+  ORDER BY SUM( ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+              * (((1.5 + 1.0) * t.tf) /
+                 (1.5 * (1.0 - 0.75 + 0.75 * (l.doc_len / s.avg_dl)) + t.tf)) )
+           DESC, t.docid ASC
+  LIMIT 10
+),
+alldf AS (SELECT term, COUNT(DISTINCT docid) AS df FROM toks GROUP BY term),
+ftf AS (SELECT term, COUNT(*) AS tf_fb FROM toks
+        JOIN fb USING (docid) GROUP BY term),
+expansion AS (
+  SELECT f.term
+  FROM ftf f JOIN alldf a USING (term)
+  WHERE f.term NOT IN (SELECT term FROM qt0)
+  ORDER BY f.tf_fb * ln(((SELECT n_docs FROM stats) + 1.0) / (a.df + 1.0))
+           DESC, f.term ASC
+  LIMIT 2
+),
+qt AS (SELECT term FROM qt0 UNION SELECT term FROM expansion),
+tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks
+        WHERE term IN (SELECT term FROM qt) GROUP BY docid, term),
+dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
+scored AS (
+  SELECT t.docid,
+         SUM( ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+            * (((1.5 + 1.0) * t.tf) /
+               (1.5 * (1.0 - 0.75 + 0.75 * (l.doc_len / s.avg_dl)) + t.tf)) ) AS score
+  FROM tfs t
+  JOIN dfs f ON f.term = t.term
+  JOIN dl l ON l.docid = t.docid
+  CROSS JOIN stats s
+  GROUP BY t.docid
+)
+SELECT docid,
+       CAST(row_number() OVER (ORDER BY score DESC, docid ASC) AS INT) AS rank,
+       round(score, 6) AS score
+FROM scored ORDER BY score DESC, docid ASC LIMIT 10""",
         "ft_ql": f"""
 WITH {_TOKS},{_DL_STATS},
 tot AS (SELECT SUM(doc_len) AS n FROM dl),

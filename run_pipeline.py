@@ -204,7 +204,29 @@ def cmd_search(args) -> None:
         )
     else:
         doc_filter = _cli_doc_filter(spark, args)
-        if args.ql:
+        if args.rm3_from:
+            from pyspark.sql import functions as F
+
+            from large_scale_hypertextual_search_engine_spark.operators.feedback import (
+                search_rm3,
+            )
+
+            if args.analyzer == "simple":
+                terms = tokenize_simple(args.query)
+            else:
+                terms = [
+                    t.term for t in tokenize_compat(args.query, stem=args.stem)
+                ]
+            fb_docs = spark.read.parquet(args.rm3_from).select(
+                F.col(args.snippet_id_col).cast("string").alias("docid"),
+                F.col(args.snippet_text_col).alias("content"),
+            )
+            res, expanded = search_rm3(
+                idx, fb_docs, terms, top_k=args.top_k, fb_k=args.fb_k,
+                max_expansions=args.expansions, final_mode=args.mode,
+            )
+            print(json.dumps({"expanded_query": expanded}))
+        elif args.ql:
             from large_scale_hypertextual_search_engine_spark.operators.ranking import (
                 search_ql,
             )
@@ -948,6 +970,16 @@ def main() -> None:
     p.add_argument("--facet-cols", default="lang,source",
                    help="comma-separated facet columns")
     p.add_argument("--facet-top-n", type=int, default=5)
+    p.add_argument(
+        "--rm3-from", default=None, metavar="PARQUET",
+        help="pseudo-relevance feedback: expand the query with top "
+             "tf-idf terms of the feedback top-k from this corpus table "
+             "(operators/feedback.py), then search in --mode",
+    )
+    p.add_argument("--fb-k", type=int, default=10,
+                   help="with --rm3-from: feedback depth")
+    p.add_argument("--expansions", type=int, default=2,
+                   help="with --rm3-from: number of expansion terms")
     p.add_argument(
         "--ql", action="store_true",
         help="rank by Dirichlet query likelihood instead of BM25",
