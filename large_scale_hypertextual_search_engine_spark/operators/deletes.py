@@ -203,6 +203,13 @@ def compact_index(
     if "bucket_id" in cols:
         writer = writer.partitionBy("bucket_id")
     writer.parquet(f"{o}/postings")
+    if not any(Path(f"{o}/postings").rglob("*.parquet")):
+        # everything was deleted: a partitionBy write of zero rows
+        # leaves no schema on disk — write an explicit empty table so
+        # the compacted index stays loadable
+        spark.createDataFrame([], out_schema).write.mode(
+            "overwrite"
+        ).parquet(f"{o}/postings")
     meta = {
         "stage": "postings",
         "fingerprint": f"compact:{stage_meta(f'{d}/postings').get('fingerprint')}",
@@ -240,7 +247,11 @@ def compact_index(
     spark.catalog.refreshByPath(f"{o}/doc_stats")
     spark.read.parquet(f"{o}/doc_stats").agg(
         F.count("*").alias("n_docs"),
-        (F.sum("doc_len") / F.count("*")).alias("avg_dl"),
+        # fully-deleted index: avg_dl 0.0, not sum/0 = NULL (queries on
+        # an empty index return empty instead of crashing on stats)
+        F.coalesce(
+            F.sum("doc_len") / F.nullif(F.count("*"), F.lit(0)), F.lit(0.0)
+        ).alias("avg_dl"),
     ).write.mode("overwrite").parquet(f"{o}/collection_stats")
 
     for name in ("lexicon", "docid_map", "doc_stats", "collection_stats"):

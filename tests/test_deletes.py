@@ -249,3 +249,18 @@ def test_compact_blob_roundtrip(spark, deleted_index, tmp_path_factory):
     # the sf0.001 synthetic vocabulary is ~31 terms; require that a
     # solid majority had live docs and round-tripped
     assert checked >= 20
+
+
+def test_compact_fully_deleted_index(spark, docs, tmp_path_factory):
+    """Deleting every document and compacting yields a valid, EMPTY
+    index: zero stats (not NULL), no postings, queries return empty."""
+    out = str(tmp_path_factory.mktemp("alldel"))
+    comp = str(tmp_path_factory.mktemp("alldelc"))
+    build_and_save_index(docs, out, "all-deleted", mode="simple", stem=False)
+    all_ids = [r["docid"] for r in docs.collect()]
+    assert delete_docs(spark, out, all_ids) == len(all_ids)
+    cidx = compact_index(spark, out, comp)
+    row = cidx["collection_stats"].collect()[0]
+    assert row["n_docs"] == 0 and row["avg_dl"] == 0.0
+    assert cidx["postings"].count() == 0
+    assert search(cidx, ["join"], top_k=5).count() == 0
