@@ -51,14 +51,18 @@ def search_facets(
     """
     if not facet_cols:
         raise ValueError("facet_cols must be non-empty")
-    from .query import search
+    from .query import match_docs
 
     if "doc_int" not in facets.columns:
         facets = facets.withColumn(
             "docid", F.col("docid").cast("string")
         ).join(index["docid_map"], "docid")
-    hits = search(
-        index, terms, top_k=2**31 - 1, mode=mode, tf_mode=tf_mode, k1=k1, b=b
+    # match_docs, NOT search: the full match set must never cross a
+    # single-partition rank window just to be counted (the counts don't
+    # use ranks) — membership aggregates under the natural distributed
+    # groupBy(doc_int) exchange, plan-asserted in tests/test_plans.py
+    hits = match_docs(
+        index, terms, mode=mode, tf_mode=tf_mode, k1=k1, b=b
     ).select("doc_int")
 
     melted = (

@@ -147,19 +147,23 @@ def search_boosted(
     """
     from pyspark.sql import Window
 
-    from .query import search
+    from .query import match_docs
 
     if "doc_int" not in boosts.columns:
         boosts = (
             boosts.select(F.col("docid").cast("string").alias("docid"), "boost")
             .join(index["docid_map"], "docid")
         )
-    hits = search(index, terms, top_k=2**31 - 1, mode=mode, tf_mode=tf_mode,
-                  k1=k1, b=b).select(
-        "doc_int", "docid", F.col("score").alias("bm25")
-    )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_int"))
-    return (
+    # match_docs, NOT search: the BM25 ranks would be thrown away (the
+    # boosted score defines the order), so the full match set must not
+    # funnel through a single-partition rank window first. The boosted
+    # top-k is a distributed orderBy().limit(k) — Catalyst compiles it
+    # to TakeOrderedAndProject (per-partition top-k, then merge of k-row
+    # slices); only the k survivors see a window, to number them.
+    hits = match_docs(
+        index, terms, mode=mode, tf_mode=tf_mode, k1=k1, b=b
+    ).withColumnRenamed("score", "bm25")
+    topk = (
         hits.join(boosts.select("doc_int", "boost"), "doc_int", "left")
         .withColumn(
             "score",
@@ -168,6 +172,11 @@ def search_boosted(
         )
         .orderBy(F.desc("score"), F.asc("doc_int"))
         .limit(top_k)
-        .withColumn("rank", F.row_number().over(w))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_int"))
+    return (
+        F.broadcast(topk.withColumn("rank", F.row_number().over(w)))
+        .join(index["docid_map"], "doc_int")
         .select("rank", "doc_int", "docid", "score", "bm25")
+        .orderBy("rank")  # k rows: restore rank order after the join
     )

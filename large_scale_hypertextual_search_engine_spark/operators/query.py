@@ -255,6 +255,79 @@ def search_batch(
     )
 
 
+def match_docs(
+    index: dict[str, DataFrame],
+    terms: list[str],
+    mode: str = "and",
+    tf_mode: str = "true",
+    k1: float = K1,
+    b: float = B,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
+    """Scored FULL match set of one query -> (doc_int, score) with NO
+    rank window and NO query_id funnel.
+
+    ``search`` exists to answer top-k: it repartitions candidates by
+    query_id so the per-doc aggregation and the rank window share one
+    exchange — correct for top-k, but a single query means a single
+    partition, so a consumer that wants the *whole* match set (facets,
+    static-rank boosting) would funnel df~N rows through ONE task to
+    assign ranks it then throws away. This helper is the match set
+    without the window: candidates aggregate under the natural
+    ``groupBy(doc_int)`` hash exchange — fully distributed — and the
+    AND cardinality check joins a broadcast 1-row count. Scores are
+    bit-identical to ``search`` (same ascending-sorted deterministic
+    FP fold over per-term BM25).
+    """
+    n_docs, avg_dl = _stats(index)
+    uniq = list(dict.fromkeys(terms))
+    decoded = exclude_tombstones(
+        index, decode_postings_df(prune_buckets(index, uniq), uniq)
+    )
+    if doc_filter is not None:
+        if "doc_int" not in doc_filter.columns:
+            doc_filter = (
+                doc_filter.select(F.col("docid").cast("string").alias("docid"))
+                .join(index["docid_map"], "docid")
+            )
+        decoded = decoded.join(
+            doc_filter.select("doc_int").distinct(), "doc_int", "semi"
+        )
+
+    doc_stats = index["doc_stats"].select("doc_int", "doc_len")
+    cand = decoded.join(doc_stats, "doc_int", "left").withColumn(
+        "dl",
+        F.coalesce(F.col("doc_len"), F.floor(F.lit(avg_dl))).cast("double"),
+    )
+    tf_eff = F.lit(1.0) if tf_mode == "compat" else F.col("tf").cast("double")
+    scored = cand.withColumn(
+        "term_score",
+        bm25_score(tf_eff, F.col("df"), F.col("dl"), F.lit(float(n_docs)), F.lit(avg_dl), k1, b),
+    )
+    per_doc = scored.groupBy("doc_int").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list("term_score")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+        F.count("*").alias("n_matched"),
+    )
+    if mode == "and":
+        # n_found as a broadcast 1-row cross join (no driver action, no
+        # second decode): terms present in the index, per the same
+        # term-pruned lightweight postings scan search_batch uses
+        n_found = (
+            prune_buckets(index, uniq)
+            .select("term")
+            .filter(F.col("term").isin(uniq))
+            .agg(F.countDistinct("term").alias("n_found"))
+        )
+        per_doc = per_doc.join(F.broadcast(n_found)).filter(
+            F.col("n_matched") == F.col("n_found")
+        )
+    return per_doc.select("doc_int", "score")
+
+
 def search(
     index: dict[str, DataFrame],
     terms: list[str],

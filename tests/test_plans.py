@@ -216,3 +216,57 @@ def test_tombstone_free_plan_unchanged(spark, small_index):
     assert "tombstones" not in small_index
     plan = _plan(search(small_index, ["the"], top_k=5))
     assert "LeftAnti" not in plan, plan
+
+
+def test_match_docs_has_no_rank_window(spark, small_index):
+    """match_docs is the rank-window-free match set (r4 finding #1):
+    no Window anywhere, no query_id funnel repartition, one decode."""
+    from large_scale_hypertextual_search_engine_spark.operators.query import (
+        match_docs,
+    )
+
+    for mode in ("and", "or"):
+        plan = _plan(match_docs(small_index, ["the", "and"], mode=mode))
+        assert "Window" not in plan, plan
+        assert "REPARTITION_BY_NUM" not in plan, plan
+        assert len(re.findall(r"MapInPandas", plan)) == 1, plan
+
+
+def test_facets_no_single_partition_window(spark, small_index):
+    """The full match set must never cross a single-partition window
+    (r4 finding #1): every Window in the facets plan partitions by
+    facet; the membership pass has none."""
+    from large_scale_hypertextual_search_engine_spark.operators.facets import (
+        search_facets,
+    )
+
+    facets = spark.createDataFrame(
+        [(i, "en") for i in range(1, 121)], "doc_int long, lang string"
+    )
+    plan = _plan(search_facets(small_index, ["the"], facets, ["lang"], top_n=5))
+    win_lines = [l for l in plan.splitlines() if "Window" in l]
+    assert win_lines, plan  # the per-facet rank window exists...
+    for l in win_lines:  # ...and every window is facet-partitioned
+        assert "facet#" in l.split("windowspecdefinition")[0] or "[facet#" in l, l
+
+
+def test_boosted_topk_is_distributed(spark, small_index):
+    """search_boosted's top-k must be a TakeOrderedAndProject over the
+    distributed match set (r4 finding #1), not a full-set rank window:
+    the only Window sits above the GlobalLimit (numbers <= k rows)."""
+    from large_scale_hypertextual_search_engine_spark.operators.linkrank import (
+        search_boosted,
+    )
+
+    boosts = spark.createDataFrame(
+        [(i, 0.5) for i in range(1, 61)], "doc_int long, boost double"
+    )
+    plan = _plan(search_boosted(small_index, ["the"], boosts, top_k=5))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the window (rank numbering) consumes the take-ordered output, so
+    # in the operator tree it appears strictly ABOVE (before, in
+    # toString order) the TakeOrderedAndProject node
+    lines = plan.splitlines()
+    win_at = [i for i, l in enumerate(lines) if "Window" in l]
+    take_at = [i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l]
+    assert win_at and take_at and max(win_at) < min(take_at), plan

@@ -234,3 +234,49 @@ def test_search_doc_filter_by_doc_int_and_empty(spark, indexes):
     assert got  # 'the' is near-universal, the slice must hit
     empty = spark.createDataFrame([], "docid string")
     assert search(idx, ["the"], doc_filter=empty).count() == 0
+
+
+@pytest.mark.parametrize("mode", ["and", "or"])
+def test_match_docs_bit_identical_to_search(spark, indexes, mode):
+    """match_docs (the rank-window-free full match set) returns exactly
+    the docs and BIT-identical scores of search() with an unbounded
+    top_k — same candidate pipeline, same sorted FP fold, no window."""
+    from large_scale_hypertextual_search_engine_spark.operators.query import (
+        match_docs,
+    )
+
+    idx, _ = indexes
+    terms = ["spark", "join"]
+    full = {
+        r["doc_int"]: r["score"]
+        for r in search(idx, terms, top_k=2**31 - 1, mode=mode).collect()
+    }
+    md = {
+        r["doc_int"]: r["score"]
+        for r in match_docs(idx, terms, mode=mode).collect()
+    }
+    assert md == full  # exact float equality: same fold, same order
+
+
+def test_match_docs_missing_term_and_filter(spark, indexes):
+    """AND mode intersects only lexicon-present terms (the reference's
+    skip semantics) and doc_filter composes the same as search."""
+    from large_scale_hypertextual_search_engine_spark.operators.query import (
+        match_docs,
+    )
+
+    idx, _ = indexes
+    base = {r["doc_int"] for r in match_docs(idx, ["spark", "join"]).collect()}
+    with_missing = {
+        r["doc_int"]
+        for r in match_docs(idx, ["spark", "join", "zzzznope"]).collect()
+    }
+    assert with_missing == base
+    keep = spark.createDataFrame(
+        [(d,) for d in sorted(base)[:3]], "doc_int long"
+    )
+    filtered = {
+        r["doc_int"]
+        for r in match_docs(idx, ["spark", "join"], doc_filter=keep).collect()
+    }
+    assert filtered == set(sorted(base)[:3])
