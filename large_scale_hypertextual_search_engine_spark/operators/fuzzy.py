@@ -26,11 +26,12 @@ classic noisy-channel prior) and runs the normal BM25 search.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.bm25 import B, K1
 
-__all__ = ["fuzzy_candidates", "search_fuzzy", "DeletionIndex"]
+__all__ = ["fuzzy_candidates", "search_fuzzy", "correct_terms", "DeletionIndex"]
 
 
 def fuzzy_candidates(
@@ -96,16 +97,20 @@ class DeletionIndex:
     def build(
         cls, index: dict[str, DataFrame], max_dist: int = 1
     ) -> "DeletionIndex":
+        from pyspark.sql.functions import pandas_udf
+
+        # Arrow-batched signature generation (build-once, but the house
+        # rule is no per-row Python UDFs anywhere): the string
+        # combinatorics run per pandas batch, one IPC round-trip per
+        # Arrow batch instead of one pickle round-trip per term
+        @pandas_udf("array<string>")
+        def _sig_sets(terms: pd.Series) -> pd.Series:
+            return terms.map(lambda t: sorted(_deletions(t, max_dist)))
+
         lex = index["lexicon"].select("term", "tf")
-        sig = F.explode(
-            F.udf(
-                lambda t: sorted(_deletions(t, max_dist)), "array<string>"
-            )("term")
+        sigs = lex.select(
+            F.explode(_sig_sets("term")).alias("sig"), "term", "tf"
         )
-        # the deletion generator is the one per-term Python hop — it
-        # runs ONCE at build, never at lookup; signatures are tiny
-        # strings so the exploded table stays lexicon-shaped
-        sigs = lex.select(sig.alias("sig"), "term", "tf")
         return cls(sigs, max_dist)
 
     def save(self, path: str) -> None:
@@ -174,19 +179,11 @@ def search_fuzzy(
         r["term"]
         for r in lex.filter(F.col("term").isin(uniq)).collect()
     }
-    corrections: dict[str, str] = {}
-    final: list[str] = []
-    for t in uniq:
-        if t in present:
-            final.append(t)
-            continue
-        best = fuzzy_candidates(index, t, max_dist=max_dist, top_n=1).collect()
-        if best:
-            corrections[t] = best[0]["term"]
-            final.append(best[0]["term"])
-        else:
-            final.append(t)  # uncorrectable: keeps the engine's
-            # missing-term semantics (AND fails / OR skips)
+    oov = [t for t in uniq if t not in present]
+    corrections = correct_terms(index, oov, max_dist=max_dist) if oov else {}
+    # uncorrectable OOV terms stay verbatim: keeps the engine's
+    # missing-term semantics (AND fails / OR skips)
+    final = [corrections.get(t, t) for t in uniq]
     return (
         search(
             index, list(dict.fromkeys(final)), top_k=top_k, mode=mode,
@@ -194,3 +191,53 @@ def search_fuzzy(
         ),
         corrections,
     )
+
+
+def correct_terms(
+    index: dict[str, DataFrame],
+    words: list[str],
+    max_dist: int = 1,
+) -> dict[str, str]:
+    """Best correction for EVERY word in ONE Spark job ->
+    {word: corrected} (words with no candidate within ``max_dist`` are
+    absent from the dict).
+
+    The r4 per-term loop ran ``fuzzy_candidates(...).collect()`` once
+    per OOV word — one sequential job round-trip each. Here the word
+    list broadcasts against a single column-pruned lexicon scan with a
+    per-pair length prune + threshold levenshtein, and the per-word
+    argmin (dist asc, tf desc, term asc — the noisy-channel frequency
+    prior) is one row_number window partitioned by word. Query words
+    are few, so the window's per-word partitions are exactly the
+    parallelism available; the lexicon is scanned once total instead of
+    once per typo.
+    """
+    uniq = list(dict.fromkeys(w.lower() for w in words))
+    if not uniq:
+        return {}
+    spark = index["lexicon"].sparkSession
+    probe = spark.createDataFrame([(w,) for w in uniq], "word string")
+    cand = (
+        index["lexicon"]
+        .select("term", "tf")
+        .join(
+            F.broadcast(probe),
+            F.abs(F.length("term") - F.length("word")) <= max_dist,
+        )
+        .withColumn(
+            "dist", F.levenshtein(F.col("term"), F.col("word"), max_dist)
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("word").orderBy(
+        F.asc("dist"), F.desc("tf"), F.asc("term")
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("word", "term")
+        .collect()
+    )
+    return {r["word"]: r["term"] for r in best}

@@ -122,3 +122,74 @@ def test_deletion_index_save_load_roundtrip(spark, fidx, tmp_path):
     a = [tuple(r) for r in di.lookup(spark, "joim", top_n=5).collect()]
     b = [tuple(r) for r in loaded.lookup(spark, "joim", top_n=5).collect()]
     assert a == b and a
+
+
+def test_correct_terms_one_job_matches_per_term(spark, fidx):
+    """Batched correction (ONE lexicon scan for N typos, r4 finding #3)
+    returns exactly what the per-term fuzzy_candidates argmin would."""
+    from large_scale_hypertextual_search_engine_spark.operators.fuzzy import (
+        correct_terms,
+    )
+
+    words = ["sprak", "joim", "windoq", "zzzzzzzzqqq"]
+    got = correct_terms(fidx, words, max_dist=1)
+    for w in words:
+        best = fuzzy_candidates(fidx, w, max_dist=1, top_n=1).collect()
+        if best:
+            assert got[w] == best[0]["term"], w
+        else:
+            assert w not in got
+    # dedup + case-fold behave like the engine's term handling
+    assert correct_terms(fidx, ["JOIM", "joim"], max_dist=1) == {
+        "joim": got["joim"]
+    }
+    assert correct_terms(fidx, [], max_dist=1) == {}
+
+
+def test_deletion_index_build_is_pandas_udf(spark, fidx):
+    """The signature generator must be Arrow-batched (ArrowEvalPython /
+    no row-at-a-time BatchEvalPython), and the table must equal the
+    Python-generated signature set."""
+    from large_scale_hypertextual_search_engine_spark.operators.fuzzy import (
+        _deletions,
+    )
+
+    di = DeletionIndex.build(fidx, max_dist=1)
+    plan = di.sigs._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
+
+    lex = {
+        r["term"]: r["tf"]
+        for r in fidx["lexicon"].select("term", "tf").limit(50).collect()
+    }
+    got = {
+        (r["sig"], r["term"], r["tf"])
+        for r in di.sigs.filter(
+            di.sigs["term"].isin(list(lex))
+        ).collect()
+    }
+    want = {
+        (s, t, tf) for t, tf in lex.items() for s in _deletions(t, 1)
+    }
+    assert got == want
+
+
+def test_no_row_udf_anywhere_in_package():
+    """House rule (input_hint: no per-row Python): the package must not
+    call F.udf / pyspark.sql.functions.udf anywhere — pandas_udf,
+    mapInPandas and mapInArrow are the only Python escapes."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / (
+        "large_scale_hypertextual_search_engine_spark"
+    )
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        src = py.read_text()
+        for m in re.finditer(
+            r"F\.udf\s*\(|functions\s+import\s+(?:[\w, ]*[^_\w])?udf\b",
+            src,
+        ):
+            offenders.append(f"{py.name}:{src[: m.start()].count(chr(10)) + 1}")
+    assert not offenders, offenders
