@@ -78,15 +78,30 @@ def test_query_matches_oracle(spark, name):
         pytest.fail(f"{name}: value mismatch, first diffs: {diffs}")
 
 
-def test_rows_only_queries_run(spark):
-    all_q = entry_mod.queries()
-    rows_only = [k for k in all_q if k not in entry_mod.oracle_sql()]
-    assert rows_only  # we do ship non-SQL-expressible operators
-    for name in rows_only:
-        df = all_q[name](spark, SF_DIR)
-        n = df.count()
-        assert n >= 0, name
-        assert df.columns, name
+ALL_KEYS = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", ALL_KEYS)
+def test_every_registry_key_exercised(spark, name):
+    """r4 VERDICT #7: the driver's correctness run may subset the
+    registry, so EVERY queries() key must be visibly exercised in-tree,
+    parameterized (a skipped driver row can never hide a regression).
+    Oracle-backed keys execute fully in test_query_matches_oracle, so
+    here they only need a well-formed plan; rows-only keys (no oracle)
+    execute to completion here."""
+    q = entry_mod.queries()[name]
+    df = q(spark, SF_DIR)
+    assert df.columns, name
+    if name not in entry_mod.oracle_sql():
+        assert df.count() > 0, f"{name}: rows-only query returned 0 rows"
+
+
+def test_rows_only_set_is_expected():
+    """Exactly these registry entries lack a DuckDB oracle (each for a
+    stated reason: property-backed kernel / stemmer mode); growing this
+    set silently is a correctness-coverage regression."""
+    rows_only = sorted(set(ALL_KEYS) - set(entry_mod.oracle_sql()))
+    assert rows_only == ["ft_compat_analyzer", "text_fingerprint"], rows_only
 
 
 def test_entry_smoke(spark):
