@@ -390,6 +390,22 @@ def q_ft_bm25f(spark, sf_dir):
     return res.select("docid", F.round("score", 6).alias("score"))
 
 
+def q_ft_boolean_fielded(spark, sf_dir):
+    """Fielded boolean query with BM25F scoring: membership gates per
+    field (spark in title AND merge anywhere NOT join in title), score
+    is the ft_bm25f formula over the positive terms. Full match set
+    (top_k=None), so the row set is tie-break-proof."""
+    from large_scale_hypertextual_search_engine_spark.operators.boolsearch import (
+        fielded_boolean_search,
+    )
+
+    res = fielded_boolean_search(
+        _field_indexes(spark, sf_dir), {"title": 2.0, "body": 1.0},
+        "title:spark AND merge NOT title:join", top_k=None,
+    )
+    return res.select("docid", F.round("score", 6).alias("score"))
+
+
 def q_ft_merged(spark, sf_dir):
     """Index merge equivalence, oracle-checked end-to-end: the corpus
     splits in two (by docid STRING order, so merged doc_int order
@@ -1112,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facets": q_ft_facets,
         "ft_merged": q_ft_merged,
         "ft_bm25f": q_ft_bm25f,
+        "ft_boolean_fielded": q_ft_boolean_fielded,
         "keywords_tfidf": q_keywords,
         "collocations_pmi": q_collocations,
         "ft_ql": q_ft_ql,
@@ -1849,6 +1866,45 @@ ranked AS (
 SELECT term_a, term_b, n_pair, pmi FROM ranked
 ORDER BY pmi DESC, n_pair DESC, term_a ASC, term_b ASC
 LIMIT 50""",
+        "ft_boolean_fielded": """
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS docid,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+fld AS (
+  SELECT docid, 'title' AS field, unnest(toks[1:8]) AS term FROM docs
+  UNION ALL
+  SELECT docid, 'body' AS field, unnest(toks[9:]) AS term FROM docs
+),
+len AS (SELECT docid, field, COUNT(*) AS dl FROM fld GROUP BY docid, field),
+nc AS (SELECT COUNT(*) AS n FROM documents),
+avgdl AS (SELECT field, SUM(dl) * 1.0 / (SELECT n FROM nc) AS ad
+          FROM len GROUP BY field),
+tfs AS (SELECT docid, field, term, COUNT(*) AS tf FROM fld
+        WHERE term IN ('merge', 'spark') GROUP BY docid, field, term),
+wtf AS (
+  SELECT t.docid, t.term,
+         SUM( (CASE t.field WHEN 'title' THEN 2.0 ELSE 1.0 END) * t.tf
+              / (1.0 - 0.75 + 0.75 * (l.dl / a.ad)) ) AS tft
+  FROM tfs t
+  JOIN len l ON l.docid = t.docid AND l.field = t.field
+  JOIN avgdl a ON a.field = t.field
+  GROUP BY t.docid, t.term
+),
+dfs AS (SELECT term, COUNT(*) AS df FROM wtf GROUP BY term),
+scored AS (
+  SELECT w.docid,
+         SUM( ln(((SELECT n FROM nc) - f.df + 0.5) / (f.df + 0.5) + 1.0)
+              * w.tft / (1.5 + w.tft) ) AS score
+  FROM wtf w JOIN dfs f ON f.term = w.term
+  GROUP BY w.docid
+)
+SELECT s.docid, round(s.score, 6) AS score
+FROM scored s
+WHERE s.docid IN (SELECT docid FROM fld WHERE field = 'title' AND term = 'spark')
+  AND s.docid IN (SELECT docid FROM fld WHERE term = 'merge')
+  AND s.docid NOT IN (SELECT docid FROM fld WHERE field = 'title' AND term = 'join')""",
         "ft_bm25f": """
 WITH docs AS (
   SELECT CAST(doc_id AS VARCHAR) AS docid,

@@ -11,11 +11,15 @@ descent parser for
     and     := not ((AND)? not)*          -- adjacency is implicit AND
     not     := NOT not | prox
     prox    := atom ((NEAR/k | PRE/k) atom)?   -- term operands only
-    atom    := '(' query ')' | '"' phrase '"' | term
+    atom    := '(' query ')' | [field ':'] '"' phrase '"'
+             | [field ':'] term
 
 (keywords case-insensitive; quoted phrases use the positional index,
 see operators/phrase.py) and an evaluator that compiles the AST into a
-single Catalyst plan.
+single Catalyst plan. A ``field:`` prefix (identifier-shaped, single
+colon — ``std::x`` stays a term) scopes its atom to one field and is
+evaluated by :func:`fielded_boolean_search` over per-field indexes with
+BM25F scoring; the flat evaluators reject fielded atoms.
 
 Semantics:
 * A document MATCHES when the boolean expression holds over its leaf
@@ -71,11 +75,13 @@ from .query import (
 @dataclass(frozen=True)
 class Term:
     term: str
+    field: str | None = None
 
 
 @dataclass(frozen=True)
 class Phrase:
     terms: tuple[str, ...]
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -87,6 +93,7 @@ class Near:
     b: str
     slop: int
     ordered: bool = False
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -107,6 +114,24 @@ class Or:
 Node = Term | Phrase | Near | Not | And | Or
 
 _KEYWORDS = {"and": "AND", "or": "OR", "not": "NOT"}
+
+# a field prefix is identifier-shaped; `std::foo`-style tokens (rest
+# starts with another ':') are NOT field prefixes
+_FIELD_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _split_field(word: str) -> tuple[str | None, str]:
+    """``title:foo`` -> ("title", "foo"); words without an
+    identifier-shaped single-colon prefix pass through unsplit."""
+    head, sep, rest = word.partition(":")
+    if (
+        sep
+        and rest
+        and not rest.startswith(":")
+        and _FIELD_RE.fullmatch(head)
+    ):
+        return head, rest
+    return None, word
 
 
 def _lex(q: str) -> list[tuple[str, str]]:
@@ -134,6 +159,18 @@ def _lex(q: str) -> list[tuple[str, str]]:
             while j < n and not q[j].isspace() and q[j] not in '()"':
                 j += 1
             word = q[i:j]
+            # field:"quoted phrase" — the quote stops the word scan, so
+            # a trailing ':' followed by '"' is a field prefix on the
+            # phrase that follows
+            if (
+                word.endswith(":")
+                and j < n
+                and q[j] == '"'
+                and _FIELD_RE.fullmatch(word[:-1])
+            ):
+                toks.append(("FIELD", word[:-1]))
+                i = j
+                continue
             mprox = re.fullmatch(r"(near|pre)/(\d+)", word.lower())
             if mprox:
                 toks.append(
@@ -143,6 +180,17 @@ def _lex(q: str) -> list[tuple[str, str]]:
                 toks.append((_KEYWORDS.get(word.lower(), "TERM"), word))
             i = j
     return toks
+
+
+def _make_leaf(words: list[str], analyze, field: str | None) -> Node:
+    terms = [t for w in words for t in analyze(w)]
+    if not terms:
+        raise ValueError(f"input {words!r} analyzes to no terms")
+    return (
+        Term(terms[0], field=field)
+        if len(terms) == 1
+        else Phrase(tuple(terms), field=field)
+    )
 
 
 def parse_query(q: str, analyze=None) -> Node:
@@ -178,16 +226,16 @@ def parse_query(q: str, analyze=None) -> Node:
                 raise ValueError("unbalanced parenthesis")
             take()
             return node
+        if kind == "FIELD":  # field:"quoted phrase"
+            nkind, nval = take()
+            if nkind != "PHRASE":
+                raise ValueError(f"field prefix {val!r}: must precede a phrase")
+            return _make_leaf(nval.split(), analyze, field=val)
         if kind == "PHRASE":
-            terms = [t for w in val.split() for t in analyze(w)]
-            if not terms:
-                raise ValueError("empty phrase")
-            return Term(terms[0]) if len(terms) == 1 else Phrase(tuple(terms))
+            return _make_leaf(val.split(), analyze, field=None)
         if kind == "TERM":
-            terms = analyze(val)
-            if not terms:
-                raise ValueError(f"word {val!r} analyzes to no terms")
-            return Term(terms[0]) if len(terms) == 1 else Phrase(tuple(terms))
+            field, word = _split_field(val)
+            return _make_leaf([word], analyze, field=field)
         raise ValueError(f"unexpected {val!r}")
 
     def p_prox() -> Node:
@@ -202,7 +250,16 @@ def parse_query(q: str, analyze=None) -> Node:
                     "NEAR/PRE operands must be single terms, got "
                     f"{type(side).__name__}"
                 )
-        return Near(left.term, right.term, slop, ordered)
+        fields = {left.field, right.field} - {None}
+        if len(fields) > 1:
+            raise ValueError(
+                "NEAR/PRE operands must share one field, got "
+                f"{left.field!r} and {right.field!r}"
+            )
+        return Near(
+            left.term, right.term, slop, ordered,
+            field=next(iter(fields), None),
+        )
 
     def p_not() -> Node:
         if peek() == "NOT":
@@ -329,6 +386,11 @@ def boolean_search(
     node = parse_query(query, analyze) if isinstance(query, str) else query
     leaves = list(dict.fromkeys(_leaves(node)))
     ids = {leaf: i for i, leaf in enumerate(leaves)}
+    if any(l.field for l in leaves):
+        raise ValueError(
+            "fielded atoms (field:term) need per-field indexes — use "
+            "fielded_boolean_search(field_indexes, weights, ...)"
+        )
 
     # reject queries satisfiable by a document containing no query term
     if _eval_const(node, {i: False for i in ids.values()}, ids):
@@ -474,6 +536,10 @@ def boolean_search_batch(
         node = parse_query(q, analyze) if isinstance(q, str) else q
         leaves = list(dict.fromkeys(_leaves(node)))
         ids = {leaf: i for i, leaf in enumerate(leaves)}
+        if any(l.field for l in leaves):
+            raise ValueError(
+                f"query {qid}: fielded atoms need fielded_boolean_search"
+            )
         if _eval_const(node, {i: False for i in ids.values()}, ids):
             raise ValueError(
                 f"query {qid} would match documents containing none of "
@@ -611,4 +677,265 @@ def boolean_search_batch(
         F.broadcast(topk)
         .join(index["docid_map"], "doc_int")
         .select("query_id", "rank", "doc_int", "docid", "score")
+    )
+
+
+# ------------------------------------------------- fielded evaluation
+
+
+def fielded_boolean_search(
+    field_indexes: dict[str, dict[str, DataFrame]],
+    weights: dict[str, float],
+    query: str | Node,
+    top_k: int | None = 10,
+    k1: float = K1,
+    b: float | dict[str, float] = B,
+    analyze=None,
+) -> DataFrame:
+    """Boolean queries over per-field indexes with BM25F scoring —
+    ``title:foo AND body:"bar baz" NOT qux`` — the composition of the
+    boolean language (this module) and the BM25F machinery
+    (operators/bm25f.py). The reference parses fields and flattens them
+    away (cleaner3.cpp:534-617 -> indexer4.cpp:99-118, quirk Q12); we
+    kept them, so the two halves compose.
+
+    Semantics:
+    * Membership: a ``field:``-prefixed leaf must hold INSIDE that
+      field (term present there; phrase adjacent there; NEAR within
+      that field's positions — positional leaves always match within a
+      single field, since per-field indexes number positions per
+      field). An unprefixed leaf holds if it holds in ANY one field.
+      The boolean expression gates membership exactly as
+      :func:`boolean_search`.
+    * Score: full BM25F over the query's positive terms — per-field tf
+      normalized by its own field length, weighted, summed BEFORE
+      saturation; idf from the candidate any-field document frequency —
+      exactly :func:`~..bm25f.search_bm25f`'s formula (bit-parity
+      pytest), regardless of which fields gate membership. Negative
+      terms never score.
+
+    Plan shape: per field ONE bucket-pruned decode (positions ride only
+    if the query has positional leaves), per-row ``w_f·tf/B_f`` before
+    the union, broadcast slot join, then ONE doc_int exchange serving
+    all three aggregation levels (doc+leaf+field adjacency, doc+leaf
+    any-field OR, doc leaf-set + score fold). The any-field df the idf
+    needs is cross-document, so it cannot ride the doc-keyed exchange:
+    it is ONE extra term-pruned job over the positive terms' blobs,
+    returning |positive| rows to the driver — idf then enters the main
+    plan as a constant-folded literal.
+
+    ``top_k=None`` returns the FULL match set (doc_int, docid, score)
+    with no rank window (the ``match_docs`` discipline).
+    """
+    node = parse_query(query, analyze) if isinstance(query, str) else query
+    leaves = list(dict.fromkeys(_leaves(node)))
+    ids = {leaf: i for i, leaf in enumerate(leaves)}
+    if _eval_const(node, {i: False for i in ids.values()}, ids):
+        raise ValueError(
+            "query would match documents containing none of its terms "
+            "(e.g. a bare or OR-ed NOT); add a positive clause"
+        )
+    fields = sorted(field_indexes)
+    if set(field_indexes) != set(weights):
+        raise ValueError("weights must cover exactly the given fields")
+    unknown = sorted({l.field for l in leaves if l.field} - set(fields))
+    if unknown:
+        raise ValueError(f"unknown field(s) {unknown}; have {fields}")
+
+    positive = sorted(_positive_terms(node))
+    all_terms = sorted({t for l in leaves for t in _leaf_terms(l)})
+    has_positional = any(isinstance(l, (Phrase, Near)) for l in leaves)
+
+    from .phrase import decode_postings_positions_df as _dec_pos
+    from .query import decode_postings_df as _dec
+
+    first = field_indexes[fields[0]]
+    spark = first["postings"].sparkSession
+    n_docs = int(first["collection_stats"].collect()[0]["n_docs"])
+    stats = {
+        f: field_indexes[f]["collection_stats"].collect()[0] for f in fields
+    }
+    for f in fields:
+        if int(stats[f]["n_docs"]) != n_docs:
+            raise ValueError(
+                f"field index {f!r} covers {stats[f]['n_docs']} docs, "
+                f"{fields[0]!r} covers {n_docs}: field indexes must be "
+                "built over the same document set (doc_int parity)"
+            )
+    avgdl = {f: float(stats[f]["avg_dl"]) for f in fields}
+    b_f = {f: (b[f] if isinstance(b, dict) else b) for f in fields}
+
+    def _part(f: str, terms: list[str], positional: bool) -> DataFrame:
+        idx = field_indexes[f]
+        decode = _dec_pos if positional else _dec
+        dec = exclude_tombstones(
+            idx, decode(prune_buckets(idx, terms), terms)
+        )
+        dl = idx["doc_stats"].select("doc_int", F.col("doc_len").alias("dl"))
+        return (
+            dec.join(dl, "doc_int", "left")
+            .withColumn("field", F.lit(f))
+            .withColumn(
+                "wtf",
+                F.lit(float(weights[f]))
+                * F.col("tf").cast("double")
+                / (
+                    F.lit(1.0 - b_f[f])
+                    + F.lit(b_f[f])
+                    * F.coalesce(
+                        F.col("dl").cast("double"),
+                        F.lit(float(int(avgdl[f]))),
+                    )
+                    / F.lit(avgdl[f])
+                ),
+            )
+        )
+
+    # any-field df per positive term: one term-pruned side job (see
+    # docstring); tombstoned docs excluded, matching search_bm25f
+    df_any: dict[str, int] = {}
+    if positive:
+        df_union = reduce(
+            DataFrame.unionByName,
+            [
+                exclude_tombstones(
+                    field_indexes[f],
+                    _dec(prune_buckets(field_indexes[f], positive), positive),
+                ).select("term", "doc_int")
+                for f in fields
+            ],
+        )
+        df_any = {
+            r["term"]: r["n"]
+            for r in df_union.groupBy("term")
+            .agg(F.countDistinct("doc_int").alias("n"))
+            .collect()
+        }
+
+    slot_rows = []
+    for leaf, lid in ids.items():
+        for row in _slot_rows(leaf, lid):
+            slot_rows.append((*row, leaf.field))
+    slots = spark.createDataFrame(
+        slot_rows,
+        "leaf_id long, idx long, term string, m long, lo long, hi long, "
+        "sfield string",
+    )
+
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cand = (
+        reduce(DataFrame.unionByName, [_part(f, all_terms, has_positional) for f in fields])
+        .join(F.broadcast(slots), "term")
+        # a slot row gates membership only in its own field; the
+        # (term, field, wtf) triples for scoring flow from EVERY field
+        .withColumn(
+            "ok",
+            F.col("sfield").isNull() | (F.col("sfield") == F.col("field")),
+        )
+        # the ONLY wide exchange: doc_int hash-clusters all three aggs
+        .repartition(npart, "doc_int")
+    )
+    if has_positional:
+        cand = cand.withColumn(
+            "adj",
+            F.flatten(
+                F.transform(
+                    "positions",
+                    lambda p: F.sequence(p + F.col("lo"), p + F.col("hi")),
+                )
+            ),
+        )
+        items = F.sort_array(
+            F.collect_list(F.when(F.col("ok"), F.struct("idx", "adj")))
+        )
+        starts = F.aggregate(
+            F.expr("slice(items, 2, size(items) - 1)"),
+            F.col("items")[0]["adj"],
+            lambda acc, x: F.array_intersect(acc, x["adj"]),
+        )
+        g1 = (
+            cand.groupBy("doc_int", "leaf_id", "field")
+            .agg(
+                F.count_distinct(F.when(F.col("ok"), F.col("idx"))).alias(
+                    "n_slots"
+                ),
+                F.max("m").alias("m"),
+                items.alias("items"),
+                F.collect_set(F.struct("term", "field", "wtf")).alias("ts"),
+            )
+            .withColumn(
+                "matched",
+                (F.col("n_slots") == F.col("m"))
+                & ((F.col("m") == 1) | (F.size(starts) > 0)),
+            )
+        )
+    else:
+        g1 = (
+            cand.groupBy("doc_int", "leaf_id", "field")
+            .agg(
+                F.count_distinct(F.when(F.col("ok"), F.col("idx"))).alias(
+                    "n_slots"
+                ),
+                F.max("m").alias("m"),
+                F.collect_set(F.struct("term", "field", "wtf")).alias("ts"),
+            )
+            .withColumn("matched", F.col("n_slots") == F.col("m"))
+        )
+    g2 = g1.groupBy("doc_int", "leaf_id").agg(
+        F.max("matched").alias("matched"),  # any-field OR per leaf
+        F.array_distinct(F.flatten(F.collect_list("ts"))).alias("ts"),
+    )
+    per_doc = g2.groupBy("doc_int").agg(
+        F.collect_set(F.when(F.col("matched"), F.col("leaf_id"))).alias(
+            "present"
+        ),
+        F.array_distinct(F.flatten(F.collect_list("ts"))).alias("all_ts"),
+    )
+    gated = per_doc.filter(_compile(node, ids, F.col("present")))
+
+    # BM25F score from the carried (term, field, wtf) triples: per
+    # positive term an ascending-sorted wtf fold (bit-stable; equals a
+    # 2-field SUM exactly), idf as a constant-folded JVM log over the
+    # side-job df. Terms absent from a doc contribute an exact 0.0.
+    tscores = []
+    for t in positive:
+        dfv = float(df_any.get(t, 0))
+        tft = F.aggregate(
+            F.sort_array(
+                F.transform(
+                    F.filter(F.col("all_ts"), lambda x: x["term"] == F.lit(t)),
+                    lambda x: x["wtf"],
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        idf = F.log(
+            (F.lit(float(n_docs)) - F.lit(dfv) + 0.5) / (F.lit(dfv) + 0.5)
+            + 1.0
+        )
+        tscores.append(idf * tft / (F.lit(float(k1)) + tft))
+    scored = gated.withColumn(
+        "score",
+        F.aggregate(
+            F.sort_array(F.array(*tscores)), F.lit(0.0), lambda acc, x: acc + x
+        )
+        if tscores
+        else F.lit(0.0),
+    )
+    if top_k is None:
+        return scored.join(first["docid_map"], "doc_int").select(
+            "doc_int", "docid", "score"
+        )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_int"))
+    topk = (
+        scored.orderBy(F.desc("score"), F.asc("doc_int"))
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return (
+        F.broadcast(topk)
+        .join(first["docid_map"], "doc_int")
+        .select("rank", "doc_int", "docid", "score")
+        .orderBy("rank")
     )

@@ -746,10 +746,19 @@ def cmd_search_bm25f(args) -> None:
         fidx[name] = load_index(spark, d)
         weights[name] = float(w)
     t0 = time.time()
-    res = search_bm25f(
-        fidx, weights, args.query.lower().split(), top_k=args.top_k,
-        mode=args.mode,
-    ).collect()
+    if args.boolean:
+        from large_scale_hypertextual_search_engine_spark.operators.boolsearch import (
+            fielded_boolean_search,
+        )
+
+        res = fielded_boolean_search(
+            fidx, weights, args.query, top_k=args.top_k
+        ).collect()
+    else:
+        res = search_bm25f(
+            fidx, weights, args.query.lower().split(), top_k=args.top_k,
+            mode=args.mode,
+        ).collect()
     for r in sorted(res, key=lambda r: r["rank"]):
         print(f"{r['rank']:3d}  {r['score']:12.6f}  {r['docid']}")
     print(json.dumps({
@@ -1106,6 +1115,11 @@ def main() -> None:
     p.add_argument("--query", required=True)
     p.add_argument("--top-k", type=int, default=10)
     p.add_argument("--mode", default="and", choices=["and", "or"])
+    p.add_argument(
+        "--boolean", action="store_true",
+        help='treat --query as a fielded boolean expression: '
+        'title:foo AND body:"bar baz" NOT qux (BM25F scoring)',
+    )
     p.set_defaults(fn=cmd_search_bm25f)
 
     p = sub.add_parser(
