@@ -232,6 +232,58 @@ def main() -> None:
     pagerank(edges, n_iter=6).count()
     extra["pagerank6_s"] = round(time.time() - t0, 3)
 
+    # --- round-5: two-phase positional retrieval on a hot-term phrase.
+    # phrase_exact decodes the FULL posting lists of both terms; the
+    # WAND path decodes only blocks that survive AND alignment +
+    # block-max pruning. The decoded-bytes ratio is measured on the
+    # kernel itself (driver-side run over the same blobs the shard
+    # tasks get — identical algorithm, honest accounting).
+    from large_scale_hypertextual_search_engine_spark.operators.wand import (
+        wand_phrase_search, wand_positional_kernel,
+    )
+    import numpy as np
+
+    hot_phrase = ["the", "dup"]  # hot (df~3.8k at sf0.1) + rare (df~250)
+    t0 = time.time()
+    wand_phrase_search(idx, hot_phrase, top_k=10).count()
+    extra["phrase_wand_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    phrase_search(idx, hot_phrase, top_k=10).count()
+    extra["phrase_exact_s"] = round(time.time() - t0, 3)
+    crows = idx["postings"].filter(F.col("term").isin(hot_phrase)).collect()
+    srow = idx["collection_stats"].collect()[0]
+    n_docs_i, avg_dl_i = int(srow["n_docs"]), float(srow["avg_dl"])
+    term_rows, total_b = {}, 0
+    for r in crows:
+        t_idf = float(
+            np.log((n_docs_i - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)
+        )
+        bl = [
+            (d["last_docid"], d["max_tf"], d["min_dl"], d["offset"], d["bytes"])
+            for d in r["blocks"]
+        ]
+        term_rows[r["term"]] = (t_idf, bytes(r["postings"]), bl, 0)
+        total_b += len(r["postings"])
+    dlarr = np.full(n_docs_i + 1, float(int(avg_dl_i)))
+    for r in idx["doc_stats"].collect():
+        dlarr[r["doc_int"]] = r["doc_len"]
+    kstats: dict = {}
+    wand_positional_kernel(
+        term_rows, hot_phrase, None, dlarr, n_docs_i, avg_dl_i, 10,
+        stats=kstats,
+    )
+    extra["phrase_wand_decoded_bytes"] = int(kstats.get("bytes_decoded", 0))
+    extra["phrase_total_postings_bytes"] = int(total_b)
+    extra["phrase_wand_decoded_frac"] = round(
+        kstats.get("bytes_decoded", 0) / max(total_b, 1), 4
+    )
+    # positions are only materialized for AND-aligned docs; the exact
+    # path expands position arrays for EVERY candidate posting row
+    extra["phrase_wand_verified_docs"] = int(kstats.get("verified_docs", 0))
+    extra["phrase_candidate_postings"] = int(
+        sum(r["df"] for r in crows)
+    )
+
     # --- training-data ops ---
     raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed(

@@ -58,17 +58,22 @@ class _TermCursor:
 
     __slots__ = (
         "idf", "blob", "blocks", "block_idx", "docids", "tfs", "pos",
-        "cur_doc", "ub", "block_bases", "block_ubs",
+        "cur_doc", "ub", "block_bases", "block_ubs", "vals", "starts",
+        "stats",
     )
 
     def __init__(self, idf: float, blob: bytes, blocks, tf_mode: str,
-                 k1: float, b: float, avg_dl: float, base: int = 0):
+                 k1: float, b: float, avg_dl: float, base: int = 0,
+                 stats: dict | None = None):
         self.idf = idf
         self.blob = blob
         self.blocks = blocks  # [(last_docid, max_tf, min_dl, offset, bytes)]
         self.block_idx = -1
         self.docids = None
         self.tfs = None
+        self.vals = None
+        self.starts = None
+        self.stats = stats  # decode instrumentation (bench/telemetry)
         self.pos = 0
         self.cur_doc = -1
 
@@ -87,10 +92,14 @@ class _TermCursor:
 
     def _decode_block(self, bi: int) -> None:
         ld, mt, md, off, nb = self.blocks[bi]
+        if self.stats is not None:
+            self.stats["blocks_decoded"] = self.stats.get("blocks_decoded", 0) + 1
+            self.stats["bytes_decoded"] = self.stats.get("bytes_decoded", 0) + nb
         vals = vb_decode(self.blob[off : off + nb]).astype(np.int64)
         n = 0
         docids = []
         tfs = []
+        starts = []
         i = 0
         base = self.block_bases[bi]
         while i < vals.size:
@@ -98,10 +107,13 @@ class _TermCursor:
             docids.append(base)
             tf = int(vals[i + 1])
             tfs.append(tf)
+            starts.append(i)
             i += 2 + tf
             n += 1
         self.docids = np.array(docids, dtype=np.int64)
         self.tfs = np.array(tfs, dtype=np.int64)
+        self.vals = vals
+        self.starts = starts
         self.pos = 0
 
     def _advance_block(self) -> bool:
@@ -153,6 +165,14 @@ class _TermCursor:
 
     def tf(self) -> int:
         return int(self.tfs[self.pos])
+
+    def positions(self) -> np.ndarray:
+        """Absolute token positions of the CURRENT doc, decoded on
+        demand from the already-decoded block values (position deltas
+        start from 0 — Appendix C layout — so absolute = cumsum)."""
+        s = self.starts[self.pos]
+        tf = int(self.vals[s + 1])
+        return np.cumsum(self.vals[s + 2 : s + 2 + tf])
 
 
 def wand_topk_kernel(
@@ -635,4 +655,310 @@ def wand_search_batch(
         )
         .join(index["docid_map"], "doc_int")
         .select("query_id", "rank", "doc_int", "docid", "score")
+    )
+
+
+# ---------------------------------------- two-phase positional retrieval
+
+
+def wand_positional_kernel(
+    term_rows: dict[str, tuple],
+    slots: list[str] | None,
+    prox: tuple | None,
+    doc_len: np.ndarray,
+    n_docs: int,
+    avg_dl: float,
+    top_k: int,
+    tf_mode: str = "true",
+    k1: float = K1,
+    b: float = B,
+    doc_lo: int = 0,
+    doc_hi: int | None = None,
+    deleted: np.ndarray | None = None,
+    stats: dict | None = None,
+) -> list[tuple[int, float, int]]:
+    """AND-mode Block-Max WAND with in-kernel positional verification —
+    the two-phase plan for phrase/proximity queries (r4 "What's missing
+    #2"): candidates come from WAND over the terms' AND upper bound
+    (blocks whose summed bound cannot beat theta are SKIPPED without
+    decoding — a phrase containing one hot term no longer decodes the
+    hot term's full posting list), and positions are decoded ONLY for
+    docs where every term aligns (from block values already in memory —
+    no second fetch).
+
+    This is exact, not approximate: a phrase match's score is the AND
+    BM25 sum of its distinct terms — independent of adjacency — so the
+    summed block bound is a valid upper bound for every potential
+    phrase match in the block, and skipped docs can only score <= theta
+    (ties lose the (score desc, doc_int asc) tiebreak to already-kept
+    earlier docids, as in :func:`wand_topk_kernel`). Docs that align
+    but FAIL verification never enter the heap and never raise theta.
+
+    ``term_rows``: {term: (idf, blob, blocks[, base])}. Exactly one of
+    ``slots`` (phrase: slot terms in order; extra = n_occurrences) or
+    ``prox`` ((term_a, term_b, slop, ordered); extra = min_dist) is
+    given. Returns [(doc_int, score, extra)] sorted (score desc,
+    doc_int asc) — rank- and score-identical to phrase_search /
+    proximity_search on the shared candidates (pytest).
+    """
+    distinct = (
+        list(dict.fromkeys(slots)) if prox is None else
+        list(dict.fromkeys(prox[:2]))
+    )
+    curs: dict[str, _TermCursor] = {}
+    for t in distinct:
+        row = term_rows.get(t)
+        if row is None or not row[2]:
+            return []  # a missing term empties the AND
+        curs[t] = _TermCursor(
+            row[0], row[1], row[2], tf_mode, k1, b, avg_dl,
+            base=row[3] if len(row) > 3 else 0, stats=stats,
+        )
+    cs = list(curs.values())
+    if doc_lo > 0:
+        for c in cs:
+            c.next_geq(doc_lo)
+    if any(c.cur_doc < 0 for c in cs):
+        return []
+    hi = doc_hi if doc_hi is not None else 1 << 62
+    heap: list[tuple[float, int, int]] = []  # (score, -doc_int, extra)
+    theta = 0.0
+    fb = 1.0 - b
+
+    while True:
+        target = max(c.cur_doc for c in cs)
+        if target >= hi:
+            break
+        aligned, dead = True, False
+        for c in cs:
+            if c.cur_doc < target:
+                c.next_geq(target)
+                if c.cur_doc < 0:
+                    dead = True
+                    break
+                if c.cur_doc > target:
+                    aligned = False
+        if dead:
+            break
+        if not aligned:
+            continue
+        if deleted is not None and deleted[target - doc_lo]:
+            for c in cs:
+                c.advance()
+            if any(c.cur_doc < 0 for c in cs):
+                break
+            continue
+        if len(heap) >= top_k:
+            # block-max phase: summed current-block bounds vs theta
+            ub = sum(c.block_ub() for c in cs)
+            if ub <= theta:
+                boundary = min(c.block_last() for c in cs)
+                tgt = max(boundary + 1, target + 1)
+                for c in cs:
+                    c.next_geq(tgt)
+                if any(c.cur_doc < 0 for c in cs):
+                    break
+                continue
+        # verify phase: positions decoded only here, only for this doc
+        if stats is not None:
+            stats["verified_docs"] = stats.get("verified_docs", 0) + 1
+        extra = None
+        if prox is None:
+            plists = {t: curs[t].positions() for t in distinct}
+            starts = plists[slots[0]]
+            for i, t in enumerate(slots[1:], 1):
+                starts = np.intersect1d(
+                    starts, plists[t] - i, assume_unique=True
+                )
+                if starts.size == 0:
+                    break
+            if starts.size > 0:
+                extra = int(starts.size)
+        else:
+            a_t, b_t, slop, ordered = prox
+            pa = curs[a_t].positions()
+            pb = curs[b_t].positions()
+            diffs = (pb[None, :] - pa[:, None]).ravel()
+            ds = diffs[diffs > 0] if ordered else np.abs(diffs)
+            if ds.size and int(ds.min()) <= slop:
+                extra = int(ds.min())
+        if extra is not None:
+            dl = float(doc_len[target - doc_lo])
+            norm = k1 * (fb + b * (dl / avg_dl))
+            parts = []
+            for t in distinct:
+                tf = 1.0 if tf_mode == "compat" else float(curs[t].tf())
+                parts.append(curs[t].idf * ((k1 + 1.0) * tf) / (norm + tf))
+            score = 0.0
+            for x in sorted(parts):  # exact path's ascending FP fold
+                score += x
+            entry = (score, -target, extra)
+            if len(heap) < top_k:
+                heapq.heappush(heap, entry)
+                if len(heap) == top_k:
+                    theta = heap[0][0]
+            elif entry[:2] > heap[0][:2]:
+                heapq.heapreplace(heap, entry)
+                theta = heap[0][0]
+        for c in cs:
+            c.advance()
+        if any(c.cur_doc < 0 for c in cs):
+            break
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    return [(-d, s, x) for s, d, x in out]
+
+
+WAND_POS_SCHEMA = StructType(
+    [
+        StructField("doc_int", LongType()),
+        StructField("score", DoubleType()),
+        StructField("extra", LongType()),
+    ]
+)
+
+
+def _wand_positional_search(
+    index: dict[str, DataFrame],
+    slots: list[str] | None,
+    prox: tuple | None,
+    extra_name: str,
+    top_k: int,
+    tf_mode: str,
+    k1: float,
+    b: float,
+    n_shards: int | None,
+    docs_per_shard: int,
+    doc_filter: DataFrame | None,
+) -> DataFrame:
+    """Shared shard driver: same slicing/cogroup shape as
+    :func:`wand_search`, kernel swapped for the positional one."""
+    from .query import _stats, prune_buckets
+
+    n_docs, avg_dl = _stats(index)
+    spark = index["postings"].sparkSession
+    if n_docs == 0:
+        return spark.createDataFrame(
+            [], f"rank int, doc_int long, docid string, score double, "
+                f"{extra_name} long"
+        )
+    if n_shards is None:
+        n_shards = max(1, -(-n_docs // docs_per_shard))
+    span = -(-n_docs // n_shards)
+    dl_default = float(int(avg_dl))
+
+    uniq = (
+        list(dict.fromkeys(slots)) if prox is None else
+        list(dict.fromkeys(prox[:2]))
+    )
+    rows = prune_buckets(index, uniq).filter(F.col("term").isin(uniq)).select(
+        "term", "df", "postings", "blocks"
+    )
+    shard_rows = rows.mapInPandas(_explode_to_shards(span), _SHARD_ROWS_DDL)
+    ds = _doc_slice(index, span, doc_filter)
+
+    def _kernel(key, p_pdf: pd.DataFrame, d_pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        lo, hi = shard * span + 1, (shard + 1) * span + 1
+        if len(p_pdf) == 0:
+            return pd.DataFrame({"doc_int": [], "score": [], "extra": []}).astype(
+                {"doc_int": "int64", "score": "float64", "extra": "int64"}
+            )
+        doc_len = np.full(span + 1, dl_default, dtype=np.float64)
+        if len(d_pdf):
+            doc_len[d_pdf["doc_int"].to_numpy() - lo] = d_pdf["doc_len"].to_numpy()
+        term_rows = {}
+        for term, df_, base, blob, blocks in zip(
+            p_pdf["term"], p_pdf["df"], p_pdf["base"], p_pdf["postings"],
+            p_pdf["blocks"],
+        ):
+            idf = float(np.log((n_docs - int(df_) + 0.5) / (int(df_) + 0.5) + 1.0))
+            bl = [
+                (d["last_docid"], d["max_tf"], d["min_dl"], d["offset"], d["bytes"])
+                for d in blocks
+            ]
+            term_rows[term] = (idf, bytes(blob), bl, int(base))
+        res = wand_positional_kernel(
+            term_rows, slots, prox, doc_len, n_docs, avg_dl, top_k,
+            tf_mode, k1, b, doc_lo=lo, doc_hi=hi,
+            deleted=_deleted_mask(d_pdf, span, lo),
+        )
+        return pd.DataFrame(
+            {
+                "doc_int": pd.array([d for d, _, _ in res], dtype="int64"),
+                "score": pd.array([s for _, s, _ in res], dtype="float64"),
+                "extra": pd.array([x for _, _, x in res], dtype="int64"),
+            }
+        )
+
+    topk = (
+        shard_rows.groupby("shard")
+        .cogroup(ds.groupby("shard"))
+        .applyInPandas(_kernel, WAND_POS_SCHEMA)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_int"))
+    return (
+        F.broadcast(
+            topk.withColumn("rank", F.row_number().over(w)).filter(
+                F.col("rank") <= top_k
+            )
+        )
+        .join(index["docid_map"], "doc_int")
+        .select(
+            "rank", "doc_int", "docid", "score",
+            F.col("extra").alias(extra_name),
+        )
+        .orderBy("rank")
+    )
+
+
+def wand_phrase_search(
+    index: dict[str, DataFrame],
+    phrase: list[str],
+    top_k: int = 10,
+    tf_mode: str = "true",
+    k1: float = K1,
+    b: float = B,
+    n_shards: int | None = None,
+    docs_per_shard: int = 4_000_000,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
+    """Two-phase phrase top-k -> (rank, doc_int, docid, score,
+    n_occurrences), rank/score/count-identical to
+    ``phrase.phrase_search`` (pytest) but with Block-Max candidate
+    pruning: a phrase with one hot term decodes only the blocks its
+    rare terms align into, instead of the hot term's full postings."""
+    if not phrase:
+        raise ValueError("empty phrase")
+    return _wand_positional_search(
+        index, list(phrase), None, "n_occurrences", top_k, tf_mode, k1, b,
+        n_shards, docs_per_shard, doc_filter,
+    )
+
+
+def wand_proximity_search(
+    index: dict[str, DataFrame],
+    term_a: str,
+    term_b: str,
+    slop: int,
+    ordered: bool = False,
+    top_k: int = 10,
+    tf_mode: str = "true",
+    k1: float = K1,
+    b: float = B,
+    n_shards: int | None = None,
+    docs_per_shard: int = 4_000_000,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
+    """Two-phase NEAR/slop top-k -> (rank, doc_int, docid, score,
+    min_dist), identical to ``phrase.proximity_search`` (pytest), with
+    the same Block-Max candidate pruning as :func:`wand_phrase_search`."""
+    if term_a == term_b:
+        raise ValueError("proximity terms must differ")
+    if slop < 1:
+        raise ValueError("slop must be >= 1")
+    return _wand_positional_search(
+        index, None, (term_a, term_b, slop, ordered), "min_dist", top_k,
+        tf_mode, k1, b, n_shards, docs_per_shard, doc_filter,
     )

@@ -172,6 +172,9 @@ def cmd_search(args) -> None:
         from large_scale_hypertextual_search_engine_spark.operators.phrase import (
             proximity_search,
         )
+        from large_scale_hypertextual_search_engine_spark.operators.wand import (
+            wand_proximity_search,
+        )
 
         if args.analyzer == "simple":
             terms = tokenize_simple(args.query)
@@ -179,7 +182,8 @@ def cmd_search(args) -> None:
             terms = [t.term for t in tokenize_compat(args.query, stem=args.stem)]
         if len(terms) != 2:
             raise SystemExit("--near requires exactly two query terms")
-        res = proximity_search(
+        fn = wand_proximity_search if args.wand else proximity_search
+        res = fn(
             idx, terms[0], terms[1], slop=args.near,
             ordered=args.near_ordered, top_k=args.top_k, tf_mode=args.tf_mode,
         )
@@ -187,12 +191,16 @@ def cmd_search(args) -> None:
         from large_scale_hypertextual_search_engine_spark.operators.phrase import (
             phrase_search,
         )
+        from large_scale_hypertextual_search_engine_spark.operators.wand import (
+            wand_phrase_search,
+        )
 
         if args.analyzer == "simple":
             terms = tokenize_simple(args.query)
         else:
             terms = [t.term for t in tokenize_compat(args.query, stem=args.stem)]
-        res = phrase_search(idx, terms, top_k=args.top_k, tf_mode=args.tf_mode)
+        fn = wand_phrase_search if args.wand else phrase_search
+        res = fn(idx, terms, top_k=args.top_k, tf_mode=args.tf_mode)
     elif args.wand:
         if args.analyzer == "simple":
             terms = tokenize_simple(args.query)
