@@ -58,9 +58,19 @@ def delete_docs(
     ``docids`` is a list of external docid strings or a DataFrame with
     a ``docid`` (string) or ``doc_int`` (long) column. Unknown ids are
     ignored (deleting a non-existent doc is a no-op, not an error).
+    Works against batch index dirs (``docid_map``) and streaming delta
+    dirs (``delta_docid_map`` — streaming/incremental.py layout): the
+    tombstones land under ``<dir>/tombstones`` either way and both
+    ``plans.lineage.load_index`` and ``streaming.incremental
+    .delta_index`` pick them up.
     """
     d = index_dir.rstrip("/")
-    dm = spark.read.parquet(f"{d}/docid_map")
+    dm_path = (
+        f"{d}/docid_map"
+        if _has_parquet(f"{d}/docid_map")
+        else f"{d}/delta_docid_map"
+    )
+    dm = spark.read.parquet(dm_path).select("docid", "doc_int")
     if isinstance(docids, (list, tuple)):
         docids = spark.createDataFrame(
             [(str(x),) for x in docids], "docid string"

@@ -164,7 +164,18 @@ def compact(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def delta_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
-    """Assemble a queryable index view over the streamed deltas."""
+    """Assemble a queryable index view over the streamed deltas.
+
+    Tombstones written by ``deletes.delete_docs`` against the delta dir
+    are carried into the view, so delete -> stream-append -> compact
+    keeps the doc hidden on every query path — the same per-segment
+    semantics ``search_federated`` applies and ``merge_indexes`` carries
+    forward (merge_index.py offset carry). As with batch indexes,
+    collection stats stay GLOBAL until a physical compaction
+    (``deletes.compact_index``) rewrites the postings.
+    """
+    from ..operators.deletes import load_tombstones
+
     d = out_dir.rstrip("/")
     postings = compact(spark, out_dir)
     doc_stats = spark.read.parquet(f"{d}/delta_doc_stats").select(
@@ -176,9 +187,13 @@ def delta_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
         F.lit(n_docs).cast("long").alias("n_docs"),
         (F.sum("doc_len") / F.lit(n_docs)).alias("avg_dl"),
     )
-    return {
+    out = {
         "postings": postings,
         "doc_stats": doc_stats,
         "docid_map": docid_map,
         "collection_stats": collection_stats,
     }
+    ts = load_tombstones(spark, d)
+    if ts is not None:
+        out["tombstones"] = ts
+    return out

@@ -115,3 +115,57 @@ def test_nrt_federated_base_plus_streamed_delta(spark, tmp_path):
         assert got
         # the delta's docs are reachable through the federated view
         assert any(int(d) >= 150 for d, _ in got), (terms, mode)
+
+
+def test_delete_stream_append_compact_hides_doc(spark, tmp_path):
+    """r4 VERDICT #8: delete -> stream-append -> compact must keep the
+    doc hidden, matching the federated per-segment semantics. The
+    tombstone is written against the DELTA dir (delta_docid_map id
+    resolution), survives further micro-batches, and delta_index
+    carries it into every query path."""
+    from large_scale_hypertextual_search_engine_spark.operators.deletes import (
+        delete_docs,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.query import (
+        search,
+    )
+
+    src1 = str(tmp_path / "src1")
+    src2 = str(tmp_path / "src2")
+    out = str(tmp_path / "out")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("cast(doc_id as string) as docid", "text as content")
+        .limit(40)
+    )
+    first, second = docs.limit(20), docs.subtract(docs.limit(20))
+    first.write.parquet(src1)
+
+    def _run(src, ck):
+        stream = (
+            spark.readStream.schema("docid string, content string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        index_stream(stream, out, str(tmp_path / ck)).awaitTermination(120)
+
+    _run(src1, "ck1")
+    # pick a doc that matches a common query, then tombstone it
+    idx0 = delta_index(spark, out)
+    hits = search(idx0, ["the"], top_k=5).orderBy("rank").collect()
+    assert hits
+    victim = hits[0]["docid"]
+    assert delete_docs(spark, out, [victim]) == 1
+    assert delete_docs(spark, out, [victim]) == 0  # idempotent
+
+    # stream MORE docs after the delete, then re-assemble (compact)
+    second.write.parquet(src2)
+    _run(src2, "ck2")
+    idx1 = delta_index(spark, out)
+    assert idx1["docid_map"].count() == 40
+    assert "tombstones" in idx1
+    after = search(idx1, ["the"], top_k=10**6).collect()
+    assert victim not in {r["docid"] for r in after}
+    # the other original hits are still served
+    survivors = {r["docid"] for r in hits[1:]}
+    assert survivors <= {r["docid"] for r in after}
