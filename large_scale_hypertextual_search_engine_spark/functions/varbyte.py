@@ -658,3 +658,57 @@ def decode_postings_fast(
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     starts = _record_starts(vals, gstarts, n, block_offsets)
     return np.cumsum(vals[starts]), vals[starts + 1]
+
+
+def decode_run_slice(
+    body: bytes, block_offsets: np.ndarray, base: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a prefix-less run/shard slice -> (docids, tfs, flat_pos).
+
+    A shard slice (operators.wand._explode_to_shards) is a contiguous
+    byte range of whole blocks with NO doc-count prefix; the doc count
+    is discovered by the same lockstep block walk ``_record_starts``
+    uses (<= block_size iterations regardless of length). ``base`` is
+    the docid the first delta is relative to (the preceding block's
+    last_docid). ``block_offsets`` are slice-relative byte offsets of
+    each block (required — they bound the walk).
+    """
+    vals_u, gstarts = vb_decode_offsets(body)
+    vals = vals_u.astype(np.int64)
+    if vals.size == 0:
+        return (np.zeros(0, np.int64),) * 3
+    offs = np.asarray(block_offsets, dtype=np.int64)
+    first = np.searchsorted(gstarts, offs)
+    if (first >= gstarts.size).any() or (gstarts[first] != offs).any():
+        raise ValueError("block offsets are not varbyte group boundaries")
+    limit = np.append(first[1:], vals.size)
+    cur = first.copy()
+    b_idx = np.arange(first.size, dtype=np.int64)
+    starts_parts, block_parts, iter_parts = [], [], []
+    k = 0
+    active = cur < limit
+    while active.any():
+        c = cur[active]
+        starts_parts.append(c)
+        block_parts.append(b_idx[active])
+        iter_parts.append(np.full(c.size, k, dtype=np.int64))
+        cur[active] = c + 2 + vals[c + 1]
+        active = cur < limit
+        k += 1
+    starts = np.concatenate(starts_parts)
+    order = np.lexsort((np.concatenate(iter_parts), np.concatenate(block_parts)))
+    starts = starts[order]
+    tfs = vals[starts + 1]
+    docids = int(base) + np.cumsum(vals[starts])
+    total_pos = int(tfs.sum())
+    pos_offsets = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+    within = np.arange(total_pos, dtype=np.int64) - np.repeat(pos_offsets, tfs)
+    pos_deltas = vals[np.repeat(starts + 2, tfs) + within]
+    cs = np.cumsum(pos_deltas)
+    nz = tfs > 0
+    if nz.any():
+        b_i = pos_offsets[nz]
+        flat_pos = cs - np.repeat(cs[b_i] - pos_deltas[b_i], tfs[nz])
+    else:
+        flat_pos = cs
+    return docids, tfs, flat_pos

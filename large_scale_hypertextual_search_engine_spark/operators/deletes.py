@@ -104,23 +104,170 @@ def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
     return spark.read.parquet(tp).select("doc_int", "docid").distinct()
 
 
+def _cogroup_rewrite(
+    spark: SparkSession,
+    idx: dict,
+    ts: DataFrame | None,
+    block_size: int,
+    docs_per_shard: int,
+) -> DataFrame:
+    """Tombstone-scalable postings rewrite (see compact_index): slice
+    blobs into docid-range shards (metadata surgery, no decode),
+    cogroup each shard with ONLY its range's tombstones, mask + re-run
+    per slice, and byte-concat-merge runs per term. Bodies come out
+    byte-identical to the closure strategy (fuzz-asserted)."""
+    from pyspark.sql import functions as F
+
+    from .index_build import RUNS_DDL, POSTINGS_SCHEMA, _merge_batches, _per_doc_min_dl
+    from .wand import _SHARD_ROWS_DDL, _explode_to_shards
+
+    n_docs = int(idx["collection_stats"].collect()[0]["n_docs"])
+    n_shards = max(1, -(-n_docs // docs_per_shard))
+    span = -(-n_docs // n_shards)
+    rows = idx["postings"].select("term", "df", "postings", "blocks")
+    shard_rows = rows.mapInPandas(_explode_to_shards(span), _SHARD_ROWS_DDL)
+    ts_eff = (
+        ts.select("doc_int")
+        if ts is not None
+        else spark.createDataFrame([], "doc_int long")
+    )
+    tsh = ts_eff.select(
+        ((F.col("doc_int") - 1) / F.lit(span)).cast("int").alias("shard"),
+        "doc_int",
+    )
+
+    def _kernel(key, p_pdf: pd.DataFrame, t_pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.varbyte import decode_run_slice, encode_run
+
+        shard = int(key[0])
+        lo, hi = shard * span + 1, (shard + 1) * span + 1
+        deleted = (
+            np.sort(t_pdf["doc_int"].to_numpy().astype(np.int64))
+            if len(t_pdf)
+            else np.empty(0, np.int64)
+        )
+        out = {
+            "term": [], "salt": [], "df": [], "tf": [],
+            "first_docid": [], "last_docid": [], "body": [], "blocks_bin": [],
+        }
+        for term, base, blob, blocks in zip(
+            p_pdf["term"], p_pdf["base"], p_pdf["postings"], p_pdf["blocks"]
+        ):
+            body = bytes(blob)
+            packed_in = np.array(
+                [
+                    [b["last_docid"], b["max_tf"], b["min_dl"], b["offset"], b["bytes"]]
+                    for b in blocks
+                ],
+                dtype=np.int64,
+            )
+            docids, tfs, flat_pos = decode_run_slice(
+                body, packed_in[:, 3], int(base)
+            )
+            # straddling blocks ship to both neighbors: range-filter so
+            # every doc lands in exactly one shard's run
+            keep = (docids >= lo) & (docids < hi)
+            if deleted.size:
+                p = np.searchsorted(deleted, docids)
+                p[p == deleted.size] = 0
+                keep &= deleted[p] != docids
+            if keep.all():
+                # untouched slice: pass bytes through (the term merge
+                # rewrites only the first varbyte group -> byte-identity)
+                out["term"].append(term)
+                out["salt"].append(shard)
+                out["df"].append(int(docids.size))
+                out["tf"].append(int(tfs.sum()))
+                out["first_docid"].append(int(docids[0]))
+                out["last_docid"].append(int(docids[-1]))
+                out["body"].append(body)
+                out["blocks_bin"].append(packed_in.tobytes())
+                continue
+            if not keep.any():
+                continue
+            nd, nt = docids[keep], tfs[keep]
+            dls = _per_doc_min_dl(nd, packed_in.tobytes())
+            rbody, rblocks = encode_run(
+                nd, nt, flat_pos[np.repeat(keep, tfs)], block_size,
+                doc_lens=dls,
+            )
+            out["term"].append(term)
+            out["salt"].append(shard)
+            out["df"].append(int(nd.size))
+            out["tf"].append(int(nt.sum()))
+            out["first_docid"].append(int(nd[0]))
+            out["last_docid"].append(int(nd[-1]))
+            out["body"].append(rbody)
+            out["blocks_bin"].append(
+                np.asarray(rblocks, dtype=np.int64).tobytes()
+            )
+        return pd.DataFrame(
+            {
+                "term": pd.array(out["term"], dtype=object),
+                "salt": pd.array(out["salt"], dtype="int32"),
+                "df": pd.array(out["df"], dtype="int64"),
+                "tf": pd.array(out["tf"], dtype="int64"),
+                "first_docid": pd.array(out["first_docid"], dtype="int64"),
+                "last_docid": pd.array(out["last_docid"], dtype="int64"),
+                "body": pd.array(out["body"], dtype=object),
+                "blocks_bin": pd.array(out["blocks_bin"], dtype=object),
+            }
+        )
+
+    runs = (
+        shard_rows.groupby("shard")
+        .cogroup(tsh.groupby("shard"))
+        .applyInPandas(_kernel, RUNS_DDL)
+    )
+    return (
+        runs.groupBy("term")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    "first_docid", "last_docid", "df", "tf", "body", "blocks_bin"
+                )
+            ).alias("runs")
+        )
+        .mapInPandas(_merge_batches, POSTINGS_SCHEMA)
+    )
+
+
 def compact_index(
     spark: SparkSession,
     index_dir: str,
     out_dir: str,
     block_size: int = 128,
+    strategy: str = "auto",
+    closure_max_deletes: int = 2_000_000,
+    docs_per_shard: int = 4_000_000,
 ) -> dict[str, DataFrame]:
     """Rewrite ``index_dir`` without its tombstoned documents into
     ``out_dir`` (which may equal ``index_dir`` only if you enjoy data
     loss — it must be a fresh directory). Returns the loaded compacted
     index dict.
 
-    Plan shape (the 100 TB argument): postings rewrite is ONE narrow
-    ``mapInPandas`` over the bucket-partitioned postings scan — no
-    shuffle, no decode of any term the deletes don't touch beyond its
-    docid walk; lexicon/doc_stats/docid_map/collection_stats are
-    column-pruned scans + one tiny aggregate. Nothing is collected to
-    the driver except the deleted-id set itself.
+    Two rewrite strategies (``strategy``: "auto" | "closure" |
+    "cogroup"), byte-identical postings bodies (property-fuzzed):
+
+    * ``closure`` — the fast small-delete case: the sorted deleted-id
+      array ships to every task (~8 B/tombstone) and the rewrite is ONE
+      narrow ``mapInPandas`` over the bucket-partitioned postings scan:
+      no shuffle at all. The right plan while the delete set fits
+      comfortably in task memory.
+    * ``cogroup`` — the tombstones-≫-memory regime (r4 "What's wrong"
+      #5: at 10^9 tombstones the shipped set is ~8 GB): posting blobs
+      are sliced into docid-range shards by pure metadata surgery (the
+      ``wand._explode_to_shards`` machinery), COGROUPED with only that
+      range's tombstones, masked/re-encoded per slice as posting RUNS,
+      and re-merged per term with the ordered byte-concat run merge —
+      so no task ever sees more than one shard's deletes. Costs the
+      slice + term exchanges; per-task memory is bounded by
+      ``docs_per_shard`` regardless of delete count.
+
+    ``auto`` picks cogroup when the tombstone count exceeds
+    ``closure_max_deletes`` (counted with one cheap aggregate).
+    Everything else (lexicon/doc_stats/docid_map/collection_stats) is
+    shared: column-pruned scans + one tiny aggregate.
     """
     from ..plans.lineage import load_index, stage_meta
 
@@ -131,6 +278,35 @@ def compact_index(
     t0 = time.time()
     idx = load_index(spark, d)
     ts = idx.get("tombstones")
+    nb = idx.get("_n_buckets")
+
+    postings = idx["postings"]
+    has_blocks = "blocks" in postings.columns
+    if strategy == "auto":
+        n_del = ts.count() if ts is not None else 0
+        strategy = (
+            "cogroup"
+            if (n_del > closure_max_deletes and has_blocks)
+            else "closure"
+        )
+    if strategy == "cogroup":
+        if not has_blocks:
+            raise ValueError("cogroup compaction needs block metadata")
+        new_postings = _cogroup_rewrite(
+            spark, idx, ts, block_size, docs_per_shard
+        )
+        if nb:
+            from .index_build import term_bucket_col
+
+            new_postings = new_postings.withColumn(
+                "bucket_id", term_bucket_col(nb)
+            )
+        return _write_compacted(
+            spark, idx, ts, d, o, new_postings,
+            "bucket_id" in new_postings.columns, nb, t0,
+            n_deleted=None, strategy="cogroup",
+        )
+
     deleted = (
         np.sort(
             np.asarray(
@@ -141,10 +317,6 @@ def compact_index(
         if ts is not None
         else np.empty(0, np.int64)
     )
-    nb = idx.get("_n_buckets")
-
-    postings = idx["postings"]
-    has_blocks = "blocks" in postings.columns
     cols = ["term", "df", "tf", "postings"] + (
         ["blocks"] if has_blocks else []
     ) + (["bucket_id"] if "bucket_id" in postings.columns else [])
@@ -209,15 +381,41 @@ def compact_index(
             yield pd.DataFrame(rows, columns=cols)
 
     new_postings = postings.select(*cols).mapInPandas(_rewrite, out_schema)
+    return _write_compacted(
+        spark, idx, ts, d, o, new_postings, "bucket_id" in cols, nb, t0,
+        n_deleted=int(deleted.size), strategy="closure",
+    )
+
+
+def _write_compacted(
+    spark: SparkSession,
+    idx: dict,
+    ts: DataFrame | None,
+    d: str,
+    o: str,
+    new_postings: DataFrame,
+    has_bucket: bool,
+    nb,
+    t0: float,
+    n_deleted: int | None,
+    strategy: str,
+) -> dict[str, DataFrame]:
+    """Shared compaction tail: write postings + refresh the sibling
+    tables (stable term_ids, anti-joined docid_map/doc_stats, global
+    stats recompute) and stamp lineage markers."""
+    from ..plans.lineage import load_index, stage_meta
+
+    if n_deleted is None:
+        n_deleted = ts.count() if ts is not None else 0
     writer = new_postings.sortWithinPartitions("term").write.mode("overwrite")
-    if "bucket_id" in cols:
+    if has_bucket:
         writer = writer.partitionBy("bucket_id")
     writer.parquet(f"{o}/postings")
     if not any(Path(f"{o}/postings").rglob("*.parquet")):
         # everything was deleted: a partitionBy write of zero rows
         # leaves no schema on disk — write an explicit empty table so
         # the compacted index stays loadable
-        spark.createDataFrame([], out_schema).write.mode(
+        spark.createDataFrame([], new_postings.schema).write.mode(
             "overwrite"
         ).parquet(f"{o}/postings")
     meta = {
@@ -225,7 +423,8 @@ def compact_index(
         "fingerprint": f"compact:{stage_meta(f'{d}/postings').get('fingerprint')}",
         "committed": True,
         "compacted_from": d,
-        "n_deleted": int(deleted.size),
+        "n_deleted": int(n_deleted),
+        "strategy": strategy,
         "wall_ms": int((time.time() - t0) * 1000),
     }
     if nb:

@@ -870,7 +870,7 @@ def cmd_compact(args) -> None:
 
     spark = _spark("lshse-compact")
     t0 = _t.time()
-    idx = compact_index(spark, args.index, args.out)
+    idx = compact_index(spark, args.index, args.out, strategy=args.strategy)
     row = idx["collection_stats"].collect()[0]
     print(
         json.dumps(
@@ -1155,6 +1155,11 @@ def main() -> None:
 
     p = sub.add_parser(
         "compact", help="rewrite an index without its tombstoned docs"
+    )
+    p.add_argument(
+        "--strategy", default="auto", choices=["auto", "closure", "cogroup"],
+        help="closure = no-shuffle small-delete path; cogroup = "
+        "docid-range sharded path for huge tombstone sets"
     )
     p.add_argument("--index", required=True)
     p.add_argument("--out", required=True)
