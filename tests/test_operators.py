@@ -571,3 +571,82 @@ def test_decode_stdlib_gray_and_rgba_png(spark):
     rgba = np.arange(3 * 4 * 4, dtype=np.uint8).reshape(3, 4, 4)
     got = _decode_image_stdlib(png(rgba, 6))
     assert np.array_equal(got, rgba[:, :, :3])
+
+
+def test_decode_jpeg_stdlib_pixel_exact(spark):
+    """Baseline JPEG decodes for REAL in this codec-free sandbox (r4
+    'What's missing' #3): the checked-in fixtures — encoded by the
+    independent generator in tests/data/make_fixtures.py — must decode
+    pixel-EXACT against the expected images that generator computed
+    through its own literal quadruple-loop IDCT (the engine decoder
+    uses a vectorized matrix IDCT; agreeing to the pixel proves both
+    implement the decode spec). Covers 4:4:4, 4:2:0 with restart
+    markers, and grayscale, all at a non-multiple-of-16 size."""
+    from pathlib import Path
+
+    import numpy as np
+
+    from large_scale_hypertextual_search_engine_spark.operators.multimodal import (
+        _decode_image_stdlib,
+    )
+    from tests.data.make_fixtures import encode_jpeg, pattern
+
+    d = Path(__file__).parent / "data"
+    jpx = pattern(17, 13)
+    for name, kw in (
+        ("444", dict(subsample="444")),
+        ("420", dict(subsample="420", restart=2)),
+        ("gray", dict(gray=True)),
+    ):
+        data = (d / f"sample_{name}.jpg").read_bytes()
+        expected = np.load(d / f"sample_{name}_expected.npy")
+        # checked-in fixtures match the generator (guards silent drift)
+        gen_data, gen_exp = encode_jpeg(jpx, **kw)
+        assert data == gen_data, name
+        assert np.array_equal(expected, gen_exp), name
+        got = _decode_image_stdlib(data)
+        assert got is not None, name
+        assert got.shape == (13, 17, 3), name
+        assert np.array_equal(got, expected), (
+            name,
+            int(np.abs(got.astype(int) - expected.astype(int)).max()),
+        )
+
+
+def test_decode_jpeg_through_decode_media(spark):
+    """The JPEG path runs through the Spark decode_media kernel
+    (fake=False) end to end, and unsupported variants still degrade to
+    None -> NotImplementedError rather than a wrong answer."""
+    from pathlib import Path
+
+    import numpy as np
+
+    from large_scale_hypertextual_search_engine_spark.operators.multimodal import (
+        _decode_jpeg,
+    )
+
+    d = Path(__file__).parent / "data"
+    payloads = {
+        1: (d / "sample_444.jpg").read_bytes(),
+        2: (d / "sample_420.jpg").read_bytes(),
+    }
+    df = spark.createDataFrame(
+        list(payloads.items()), "media_id long, payload binary"
+    )
+    out = {
+        r["media_id"]: r
+        for r in decode_media(df, target_size=(17, 13), fake=False).collect()
+    }
+    for mid in payloads:
+        exp = np.load(
+            d / f"sample_{'444' if mid == 1 else '420'}_expected.npy"
+        )
+        got = np.frombuffer(
+            bytes(out[mid]["pixels"]), dtype=np.uint8
+        ).reshape(13, 17, 3)
+        assert np.array_equal(got, exp), mid
+    # a progressive SOF2 frame is out of scope -> None (fall-through)
+    prog = bytearray(payloads[1])
+    i = prog.index(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    assert _decode_jpeg(bytes(prog)) is None
