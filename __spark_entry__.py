@@ -390,6 +390,45 @@ def q_ft_bm25f(spark, sf_dir):
     return res.select("docid", F.round("score", 6).alias("score"))
 
 
+def q_ft_phrase_wand(spark, sf_dir):
+    """Two-phase positional retrieval (r5): the SAME phrase query as
+    ft_phrase answered by the Block-Max WAND + in-kernel positional
+    verify path (wand_phrase_search) — candidates pruned by the AND
+    upper bound, positions decoded only for aligned docs. Checked
+    against the identical DuckDB oracle as the exact path, proving the
+    pruning is exact, not approximate."""
+    from large_scale_hypertextual_search_engine_spark.operators.wand import (
+        wand_phrase_search,
+    )
+
+    res = wand_phrase_search(
+        _index(spark, sf_dir), ["fast", "key"], top_k=10, tf_mode="true"
+    )
+    return res.select(
+        "docid", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+    )
+
+
+def q_ft_proximity_wand(spark, sf_dir):
+    """Two-phase NEAR/4 via wand_proximity_search, same oracle as the
+    exact ft_proximity path."""
+    from large_scale_hypertextual_search_engine_spark.operators.wand import (
+        wand_proximity_search,
+    )
+
+    res = wand_proximity_search(
+        _index(spark, sf_dir), "fast", "key", slop=4, top_k=10,
+        tf_mode="true",
+    )
+    return res.select(
+        "docid", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+        F.col("min_dist").cast("long").alias("min_dist"),
+    )
+
+
 def q_ft_boolean_fielded(spark, sf_dir):
     """Fielded boolean query with BM25F scoring: membership gates per
     field (spark in title AND merge anywhere NOT join in title), score
@@ -1138,7 +1177,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_or": q_ft_bm25_or,
         "ft_bm25_wand": q_ft_bm25_wand,
         "ft_phrase": q_ft_phrase,
+        "ft_phrase_wand": q_ft_phrase_wand,
         "ft_proximity": q_ft_proximity,
+        "ft_proximity_wand": q_ft_proximity_wand,
         "ft_boolean": q_ft_boolean,
         "ft_boolean_near": q_ft_boolean_near,
         "boolean_batch": q_boolean_batch,
@@ -1686,7 +1727,9 @@ ORDER BY dist ASC, tf DESC, term ASC LIMIT 5""",
         # WAND is exact top-k: the oracle is the same SQL as ft_bm25_or
         "ft_bm25_wand": _bm25_true_sql(["merge", "window"], "or"),
         "ft_phrase": _phrase_true_sql(["fast", "key"]),
+        "ft_phrase_wand": _phrase_true_sql(["fast", "key"]),
         "ft_proximity": _proximity_true_sql("fast", "key", 4),
+        "ft_proximity_wand": _proximity_true_sql("fast", "key", 4),
         "ft_boolean": _boolean_true_sql(["merge", "spark"], ["join"]),
         "ft_boolean_near": _boolean_near_sql("fast", "key", 4, "merge"),
         "pagerank_top": _pagerank_sql(6, 0.85),
