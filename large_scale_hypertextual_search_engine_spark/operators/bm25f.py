@@ -159,4 +159,5 @@ def search_bm25f(
         )
         .join(first["docid_map"], "doc_int")
         .select("rank", "doc_int", "docid", "score")
+        .orderBy("rank")
     )

@@ -504,6 +504,7 @@ def boolean_search(
         F.broadcast(topk)
         .join(index["docid_map"], "doc_int")
         .select("rank", "doc_int", "docid", "score")
+        .orderBy("rank")
     )
 
 
@@ -677,6 +678,7 @@ def boolean_search_batch(
         F.broadcast(topk)
         .join(index["docid_map"], "doc_int")
         .select("query_id", "rank", "doc_int", "docid", "score")
+        .orderBy("query_id", "rank")
     )
 
 

@@ -276,6 +276,7 @@ def phrase_search_batch(
         F.broadcast(topk)
         .join(index["docid_map"], "doc_int")
         .select("query_id", "rank", "doc_int", "docid", "score", "n_occurrences")
+        .orderBy("query_id", "rank")
     )
 
 
@@ -377,6 +378,7 @@ def proximity_search(
         F.broadcast(topk)
         .join(index["docid_map"], "doc_int")
         .select("rank", "doc_int", "docid", "score", "min_dist")
+        .orderBy("rank")
     )
 
 
@@ -412,4 +414,5 @@ def phrase_search(
         F.broadcast(topk)
         .join(index["docid_map"], "doc_int")
         .select("rank", "doc_int", "docid", "score", "n_occurrences")
+        .orderBy("rank")
     )

@@ -252,6 +252,7 @@ def search_batch(
         F.broadcast(topk)
         .join(index["docid_map"], "doc_int")
         .select("query_id", "rank", "doc_int", "docid", "score")
+        .orderBy("query_id", "rank")
     )
 
 
@@ -339,16 +340,32 @@ def search(
     doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Single query -> (rank, doc_int, docid, score). ``doc_filter``:
-    see search_batch."""
-    spark = index["postings"].sparkSession
-    uniq = list(dict.fromkeys(terms))
-    q = spark.createDataFrame(
-        [(0, t) for t in uniq], "query_id long, term string"
+    see search_batch.
+
+    Plan: ``match_docs`` (fully distributed candidate aggregation — no
+    query_id funnel) + a distributed ``orderBy().limit(k)`` that
+    Catalyst compiles to TakeOrderedAndProject; only the k survivors
+    see the rank-numbering window. search() used to delegate to
+    search_batch, whose query_id repartition is the right clustering
+    for N queries but a ONE-TASK funnel for a single query — with a
+    hot OR term at 100x scale that task sorts the full match set to
+    produce ranks 11..10^8 nobody asked for. Results are identical:
+    scores are the same sorted FP fold (bit-equal, pytest) and the
+    (score desc, doc_int asc) tiebreak is unchanged.
+    """
+    per_doc = match_docs(index, terms, mode, tf_mode, k1, b, doc_filter)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_int"))
+    topk = (
+        per_doc.orderBy(F.desc("score"), F.asc("doc_int"))
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w))
     )
-    return search_batch(
-        index, q, top_k, mode, tf_mode, k1, b, terms=uniq,
-        doc_filter=doc_filter,
-    ).drop("query_id")
+    return (
+        F.broadcast(topk)
+        .join(index["docid_map"], "doc_int")
+        .select("rank", "doc_int", "docid", "score")
+        .orderBy("rank")
+    )
 
 
 class SemanticExpander:

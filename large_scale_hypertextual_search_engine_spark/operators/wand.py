@@ -532,6 +532,7 @@ def wand_search(
         )
         .join(index["docid_map"], "doc_int")
         .select("rank", "doc_int", "docid", "score")
+        .orderBy("rank")
     )
 
 
@@ -655,6 +656,7 @@ def wand_search_batch(
         )
         .join(index["docid_map"], "doc_int")
         .select("query_id", "rank", "doc_int", "docid", "score")
+        .orderBy("query_id", "rank")
     )
 
 

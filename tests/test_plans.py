@@ -270,3 +270,21 @@ def test_boosted_topk_is_distributed(spark, small_index):
     win_at = [i for i, l in enumerate(lines) if "Window" in l]
     take_at = [i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l]
     assert win_at and take_at and max(win_at) < min(take_at), plan
+
+
+def test_single_query_search_topk_is_distributed(spark, small_index):
+    """r5: search() must not funnel its candidates through a one-task
+    query_id repartition — the top-k is a TakeOrderedAndProject over
+    the distributed match set; the only Window numbers <= k rows above
+    the limit."""
+    from large_scale_hypertextual_search_engine_spark.operators.query import (
+        search,
+    )
+
+    plan = _plan(search(small_index, ["the", "and"], top_k=5))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "REPARTITION_BY_NUM" not in plan, plan
+    lines = plan.splitlines()
+    win_at = [i for i, l in enumerate(lines) if "Window" in l]
+    take_at = [i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l]
+    assert win_at and take_at and max(win_at) < min(take_at), plan
