@@ -225,6 +225,26 @@ def q_ft_boolean_near(spark, sf_dir):
     )
 
 
+def q_ft_wildcard(spark, sf_dir):
+    """Wildcard boolean query: "s* AND NOT join" — the glob leaf is
+    expanded against the index lexicon (Lucene MultiTermQuery contract,
+    boolsearch.expand_wildcards) into an OR of the concrete matching
+    terms, then evaluated by the ordinary single-shuffle boolean plan.
+    The oracle computes the same membership with SQL LIKE (exact while
+    the pattern's match count stays under max_expansions)."""
+    from large_scale_hypertextual_search_engine_spark.operators.boolsearch import (
+        boolean_search,
+    )
+
+    res = boolean_search(
+        _index(spark, sf_dir), "s* AND NOT join", top_k=10
+    )
+    return res.select(
+        "docid", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_ft_facets(spark, sf_dir):
     """Faceted search: lang/source value counts over the FULL match set
     of the ft_bm25_and query (spark AND join) — N facet dimensions in
@@ -1181,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_proximity": q_ft_proximity,
         "ft_proximity_wand": q_ft_proximity_wand,
         "ft_boolean": q_ft_boolean,
+        "ft_wildcard": q_ft_wildcard,
         "ft_boolean_near": q_ft_boolean_near,
         "boolean_batch": q_boolean_batch,
         "ft_snippets": q_ft_snippets,
@@ -1507,18 +1528,34 @@ ORDER BY score DESC, docid ASC
 LIMIT 10"""
 
 
-def _boolean_true_sql(positive: list[str], negative: list[str]) -> str:
+def _boolean_true_sql(
+    positive: list[str],
+    negative: list[str],
+    positive_like: str | None = None,
+) -> str:
     """Oracle for boolean_search over the normal form
     ``(p1 OR p2 OR ...) AND NOT n1 AND NOT n2 ...``: membership = any
     positive term present and no negative term present; score = the
     _bm25_true_sql OR fold over the positive terms (negative terms gate
-    membership, never the score — boolsearch module docstring)."""
+    membership, never the score — boolsearch module docstring).
+
+    ``positive_like`` swaps the positive IN-list for a SQL LIKE pattern
+    — the oracle for a WILDCARD leaf (boolsearch.expand_wildcards): the
+    engine expands the glob against the lexicon into an OR of concrete
+    terms, which is exactly "every token matching the pattern" as long
+    as max_expansions exceeds the match count (true at oracle SF: the
+    whole vocabulary is 31 terms)."""
     pos_in = ", ".join(f"'{t}'" for t in positive)
     neg_in = ", ".join(f"'{t}'" for t in negative)
+    pos_pred = (
+        f"term LIKE '{positive_like}'"
+        if positive_like is not None
+        else f"term IN ({pos_in})"
+    )
     return f"""
 WITH {_TOKS},{_DL_STATS},
 tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks
-        WHERE term IN ({pos_in}) GROUP BY docid, term),
+        WHERE {pos_pred} GROUP BY docid, term),
 dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
 neg AS (SELECT DISTINCT docid FROM toks WHERE term IN ({neg_in})),
 cand AS (SELECT docid FROM tfs
@@ -1731,6 +1768,7 @@ ORDER BY dist ASC, tf DESC, term ASC LIMIT 5""",
         "ft_proximity": _proximity_true_sql("fast", "key", 4),
         "ft_proximity_wand": _proximity_true_sql("fast", "key", 4),
         "ft_boolean": _boolean_true_sql(["merge", "spark"], ["join"]),
+        "ft_wildcard": _boolean_true_sql([], ["join"], positive_like="s%"),
         "ft_boolean_near": _boolean_near_sql("fast", "key", 4, "merge"),
         "pagerank_top": _pagerank_sql(6, 0.85),
         "ft_rm3": f"""

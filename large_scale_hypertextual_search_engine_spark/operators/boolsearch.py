@@ -97,6 +97,22 @@ class Near:
 
 
 @dataclass(frozen=True)
+class Wildcard:
+    """Multi-term leaf: ``te*`` / ``t?st`` (``*`` = any run, ``?`` = one
+    char). Matched against INDEX terms (post-analysis, so patterns are
+    not stemmed — Lucene's wildcard contract) and REWRITTEN before
+    evaluation into an OR of the concrete matching terms
+    (:func:`expand_wildcards`), capped at ``max_expansions`` by
+    (df desc, term asc); zero matches become a never-present sentinel
+    term, so ``x OR zzz*`` degrades to ``x`` and ``x AND NOT zzz*``
+    excludes nothing. Expanded terms score as ordinary OR terms
+    (Lucene's SCORING_BOOLEAN_REWRITE)."""
+
+    pattern: str
+    field: str | None = None
+
+
+@dataclass(frozen=True)
 class Not:
     child: "Node"
 
@@ -111,7 +127,7 @@ class Or:
     children: tuple["Node", ...]
 
 
-Node = Term | Phrase | Near | Not | And | Or
+Node = Term | Phrase | Near | Wildcard | Not | And | Or
 
 _KEYWORDS = {"and": "AND", "or": "OR", "not": "NOT"}
 
@@ -235,6 +251,12 @@ def parse_query(q: str, analyze=None) -> Node:
             return _make_leaf(val.split(), analyze, field=None)
         if kind == "TERM":
             field, word = _split_field(val)
+            if "*" in word or "?" in word:
+                if not word.strip("*?"):
+                    raise ValueError(
+                        f"wildcard {word!r} has no literal characters"
+                    )
+                return Wildcard(word.lower(), field=field)
             return _make_leaf([word], analyze, field=field)
         raise ValueError(f"unexpected {val!r}")
 
@@ -298,16 +320,172 @@ def parse_query(q: str, analyze=None) -> Node:
 # ------------------------------------------------------------ analysis
 
 
-def _leaves(node: Node) -> list["Term | Phrase | Near"]:
-    if isinstance(node, (Term, Phrase, Near)):
+def _leaves(node: Node) -> list["Term | Phrase | Near | Wildcard"]:
+    if isinstance(node, (Term, Phrase, Near, Wildcard)):
         return [node]
     if isinstance(node, Not):
         return _leaves(node.child)
     return [l for c in node.children for l in _leaves(c)]
 
 
+# ------------------------------------------------------- wildcards
+
+# sentinel for a wildcard with zero index matches: never in any lexicon
+# (analyzers never emit NULs), so strict-boolean membership makes an
+# AND on it fail and an OR fall through — exactly Lucene's empty
+# MultiTermQuery rewrite.
+_NOMATCH_TERM = "\x00nomatch\x00"
+
+
+def _glob_to_like(pattern: str) -> str:
+    """Glob (``*``/``?``) -> SQL LIKE (``%``/``_``), escaping LIKE's
+    own metacharacters so they stay literal."""
+    out = []
+    for c in pattern:
+        if c == "*":
+            out.append("%")
+        elif c == "?":
+            out.append("_")
+        elif c in ("%", "_", "\\"):
+            out.append("\\" + c)
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def _glob_to_regex(pattern: str) -> "re.Pattern[str]":
+    """Glob -> anchored regex with EXACTLY the LIKE translation's
+    semantics: ``*``/``?`` are the only metacharacters; everything else
+    (including ``[``, which fnmatch would treat as a class) is literal."""
+    out = []
+    for c in pattern:
+        out.append(".*" if c == "*" else "." if c == "?" else re.escape(c))
+    return re.compile("".join(out) + r"\Z")
+
+
+def expand_wildcards_local(
+    node: Node,
+    terms,
+    dfs,
+    max_expansions: int = 64,
+) -> Node:
+    """Driver-local twin of :func:`expand_wildcards` for the warm
+    serving path: expand against an in-memory (terms, dfs) lexicon
+    snapshot instead of a Spark job. Same contract — top
+    ``max_expansions`` matches by (df desc, term asc), zero matches
+    become the never-present sentinel. ``terms``/``dfs`` are parallel
+    sequences (numpy arrays or lists)."""
+    pats = _collect_patterns(node)
+    if not pats:
+        return node
+    mapping: dict[tuple[str, str | None], tuple[str, ...]] = {}
+    for pat, field in pats:
+        rx = _glob_to_regex(pat)
+        hits = [
+            (-int(df), str(t))
+            for t, df in zip(terms, dfs)
+            if rx.match(str(t))
+        ]
+        hits.sort()
+        mapping[(pat, field)] = tuple(
+            t for _, t in hits[:max_expansions]
+        )
+    return _rewrite_wildcards(node, mapping)
+
+
+def _collect_patterns(node: Node) -> set[tuple[str, str | None]]:
+    return {
+        (l.pattern, l.field) for l in _leaves(node) if isinstance(l, Wildcard)
+    }
+
+
+def _expand_map(
+    lexicon_for,
+    patterns: set[tuple[str, str | None]],
+    max_expansions: int,
+) -> dict[tuple[str, str | None], tuple[str, ...]]:
+    """One lexicon job per distinct source lexicon: broadcast the
+    pattern table, LIKE-join against (term, df), keep each pattern's
+    top ``max_expansions`` terms by (df desc, term asc). The lexicon is
+    index METADATA (orders of magnitude smaller than postings), and the
+    rank window partitions by pattern over only that pattern's matches,
+    bounded by the lexicon — the standard MultiTermQuery envelope; the
+    cap keeps the rewritten query itself small."""
+    by_lex: dict[int, tuple[DataFrame, list[tuple[str, str | None]]]] = {}
+    for pat, field in patterns:
+        lex = lexicon_for(field)
+        key = id(lex._jdf) if hasattr(lex, "_jdf") else id(lex)
+        by_lex.setdefault(key, (lex, []))[1].append((pat, field))
+    out: dict[tuple[str, str | None], tuple[str, ...]] = {
+        k: () for k in patterns
+    }
+    for lex, pats in by_lex.values():
+        spark = lex.sparkSession
+        pat_df = spark.createDataFrame(
+            [
+                (p, _glob_to_like(p))
+                for p in dict.fromkeys(p for p, _ in pats)
+            ],
+            "pattern string, like_pat string",
+        )
+        w = Window.partitionBy("pattern").orderBy(F.desc("df"), F.asc("term"))
+        rows = (
+            lex.select("term", "df")
+            .join(F.broadcast(pat_df), F.expr("term LIKE like_pat"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_expansions)
+            .select("pattern", "term", "rn")
+            .collect()
+        )
+        got: dict[str, list[tuple[int, str]]] = {}
+        for r in rows:
+            got.setdefault(r["pattern"], []).append((r["rn"], r["term"]))
+        for pat, field in pats:
+            out[(pat, field)] = tuple(
+                t for _, t in sorted(got.get(pat, []))
+            )
+    return out
+
+
+def _rewrite_wildcards(node: Node, mapping: dict) -> Node:
+    if isinstance(node, Wildcard):
+        terms = mapping[(node.pattern, node.field)]
+        if not terms:
+            return Term(_NOMATCH_TERM, field=node.field)
+        if len(terms) == 1:
+            return Term(terms[0], field=node.field)
+        return Or(tuple(Term(t, field=node.field) for t in terms))
+    if isinstance(node, (Term, Phrase, Near)):
+        return node
+    if isinstance(node, Not):
+        return Not(_rewrite_wildcards(node.child, mapping))
+    kids = tuple(_rewrite_wildcards(c, mapping) for c in node.children)
+    return And(kids) if isinstance(node, And) else Or(kids)
+
+
+def expand_wildcards(
+    node: Node,
+    lexicon: DataFrame,
+    max_expansions: int = 64,
+) -> Node:
+    """Rewrite every :class:`Wildcard` leaf into an OR of the concrete
+    index terms matching its pattern (see Wildcard docstring for the
+    cap / zero-match semantics). Returns the node unchanged when it has
+    no wildcard leaves."""
+    pats = _collect_patterns(node)
+    if not pats:
+        return node
+    return _rewrite_wildcards(
+        node, _expand_map(lambda _field: lexicon, pats, max_expansions)
+    )
+
+
 def _positive_terms(node: Node, neg: bool = False) -> set[str]:
     """Terms with at least one occurrence under an even number of NOTs."""
+    if isinstance(node, Wildcard):
+        raise ValueError(
+            "unexpanded wildcard leaf — call expand_wildcards() first"
+        )
     if isinstance(node, Term):
         return set() if neg else {node.term}
     if isinstance(node, Phrase):
@@ -354,6 +532,10 @@ def _slot_rows(leaf, lid: int) -> list[tuple]:
     phrase start positions); NEAR/k expands the left term to
     [p - k, p + k] (PRE/k: [p + 1, p + k]) against the right term's
     raw positions — one mechanism covers adjacency and proximity."""
+    if isinstance(leaf, Wildcard):
+        raise ValueError(
+            "unexpanded wildcard leaf — call expand_wildcards() first"
+        )
     if isinstance(leaf, Phrase):
         return [
             (lid, i, t, len(leaf.terms), -i, -i)
@@ -376,14 +558,19 @@ def boolean_search(
     k1: float = K1,
     b: float = B,
     analyze=None,
+    max_expansions: int = 64,
 ) -> DataFrame:
     """Evaluate a boolean query -> (rank, doc_int, docid, score).
 
     ``query`` is a raw string (parsed with :func:`parse_query`) or a
     pre-built AST node. See module docstring for match/score semantics
-    and the single-decode / single-shuffle plan shape.
+    and the single-decode / single-shuffle plan shape. Wildcard leaves
+    (``te*`` / ``t?st``) are expanded against the lexicon up front
+    (:func:`expand_wildcards`, one metadata-scale job), so the
+    evaluator itself only ever sees concrete terms.
     """
     node = parse_query(query, analyze) if isinstance(query, str) else query
+    node = expand_wildcards(node, index["lexicon"], max_expansions)
     leaves = list(dict.fromkeys(_leaves(node)))
     ids = {leaf: i for i, leaf in enumerate(leaves)}
     if any(l.field for l in leaves):
@@ -516,6 +703,7 @@ def boolean_search_batch(
     k1: float = K1,
     b: float = B,
     analyze=None,
+    max_expansions: int = 64,
 ) -> DataFrame:
     """N boolean queries as ONE Spark job ->
     (query_id, rank, doc_int, docid, score).
@@ -531,10 +719,22 @@ def boolean_search_batch(
     """
     if not queries:
         raise ValueError("queries must be non-empty")
+    raw: dict[int, Node] = {
+        qid: parse_query(q, analyze) if isinstance(q, str) else q
+        for qid, q in queries.items()
+    }
+    # expand every query's wildcards with ONE shared lexicon job
+    all_pats = set().union(*(_collect_patterns(n) for n in raw.values()))
+    if all_pats:
+        mapping = _expand_map(
+            lambda _field: index["lexicon"], all_pats, max_expansions
+        )
+        raw = {
+            qid: _rewrite_wildcards(n, mapping) for qid, n in raw.items()
+        }
     parsed: dict[int, Node] = {}
     ids_per_q: dict[int, dict[Node, int]] = {}
-    for qid, q in queries.items():
-        node = parse_query(q, analyze) if isinstance(q, str) else q
+    for qid, node in raw.items():
         leaves = list(dict.fromkeys(_leaves(node)))
         ids = {leaf: i for i, leaf in enumerate(leaves)}
         if any(l.field for l in leaves):
@@ -693,6 +893,7 @@ def fielded_boolean_search(
     k1: float = K1,
     b: float | dict[str, float] = B,
     analyze=None,
+    max_expansions: int = 64,
 ) -> DataFrame:
     """Boolean queries over per-field indexes with BM25F scoring —
     ``title:foo AND body:"bar baz" NOT qux`` — the composition of the
@@ -730,6 +931,37 @@ def fielded_boolean_search(
     with no rank window (the ``match_docs`` discipline).
     """
     node = parse_query(query, analyze) if isinstance(query, str) else query
+    pats = _collect_patterns(node)
+    if pats:
+        unknown_p = sorted(
+            {f for _, f in pats if f} - set(field_indexes)
+        )
+        if unknown_p:
+            raise ValueError(
+                f"unknown field(s) {unknown_p} in wildcard patterns"
+            )
+        # field-scoped patterns expand against that field's lexicon;
+        # unprefixed ones against the any-field union (df summed across
+        # fields so the expansion cap ranks by collection frequency)
+        union_lex = None
+
+        def _lexicon_for(field):
+            nonlocal union_lex
+            if field is not None:
+                return field_indexes[field]["lexicon"]
+            if union_lex is None:
+                union_lex = reduce(
+                    DataFrame.unionByName,
+                    [
+                        fi["lexicon"].select("term", "df")
+                        for fi in field_indexes.values()
+                    ],
+                ).groupBy("term").agg(F.sum("df").alias("df"))
+            return union_lex
+
+        node = _rewrite_wildcards(
+            node, _expand_map(_lexicon_for, pats, max_expansions)
+        )
     leaves = list(dict.fromkeys(_leaves(node)))
     ids = {leaf: i for i, leaf in enumerate(leaves)}
     if _eval_const(node, {i: False for i in ids.values()}, ids):

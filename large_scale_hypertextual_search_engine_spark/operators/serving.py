@@ -417,14 +417,30 @@ class SearchServer:
             Not,
             Phrase,
             Term,
+            _collect_patterns,
             _eval_const,
             _leaf_terms,
             _leaves,
             _positive_terms,
+            expand_wildcards_local,
             parse_query,
         )
 
         node = parse_query(query, analyze) if isinstance(query, str) else query
+        if _collect_patterns(node):
+            # wildcard leaves: expand against a lazily-loaded in-memory
+            # lexicon snapshot (term, df) — metadata-scale, Arrow bulk
+            # load like the cold-start state; identical (df desc, term
+            # asc) cap semantics to the Spark path's LIKE join
+            if not hasattr(self, "_lex_terms"):
+                tbl = self._index["lexicon"].select("term", "df").toArrow()
+                self._lex_terms = tbl.column("term").to_pylist()
+                self._lex_dfs = tbl.column("df").to_numpy(
+                    zero_copy_only=False
+                )
+            node = expand_wildcards_local(
+                node, self._lex_terms, self._lex_dfs
+            )
         leaves = list(dict.fromkeys(_leaves(node)))
         ids = {leaf: i for i, leaf in enumerate(leaves)}
         if _eval_const(node, {i: False for i in ids.values()}, ids):
