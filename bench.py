@@ -284,6 +284,83 @@ def main() -> None:
         sum(r["df"] for r in crows)
     )
 
+    # --- round-5b: block skipping on a realistic Zipf vocabulary.
+    # The driver sf0.1 corpus has ~31 distinct terms (min df ~250):
+    # every block of every 2-term AND contains a potential winner, so
+    # the decoded-frac above measures corpus shape (~1.0), not the
+    # kernel. This section builds a small index over the north-rule
+    # synthetic code corpus (50k-term Zipf vocabulary,
+    # sources/corpus.py) and repeats the same kernel accounting on a
+    # hot-term + selective-term phrase — the regime block-max WAND
+    # (Ding & Suel 2011) targets: the selective list drives the pivot
+    # and most of the hot list's blocks fall below theta undecoded.
+    from large_scale_hypertextual_search_engine_spark.sources.corpus import (
+        synthetic_code_corpus,
+    )
+    from large_scale_hypertextual_search_engine_spark.plans.lineage import (
+        build_and_save_index, load_index,
+    )
+
+    zdocs = synthetic_code_corpus(
+        spark, 8000, seed=7, max_tokens=600
+    ).select("docid", "content")
+    zdir = "/tmp/bench_zipf_idx"
+    import shutil
+
+    shutil.rmtree(zdir, ignore_errors=True)
+    t0 = time.time()
+    build_and_save_index(zdocs, zdir, fingerprint="bench-zipf", mode="compat", stem=True)
+    extra["zipf_build_s"] = round(time.time() - t0, 3)
+    zidx = load_index(spark, zdir)
+    zsrow = zidx["collection_stats"].collect()[0]
+    zn, zavg = int(zsrow["n_docs"]), float(zsrow["avg_dl"])
+    zlex = zidx["lexicon"].select("term", "df").cache()
+    hot_term = zlex.orderBy(F.desc("df"), "term").first()["term"]
+    rare_row = (
+        # genuinely selective: df below the hot list's block count, so
+        # most hot blocks contain NO candidate and galloping skips them
+        # (df 30-120 still put one candidate in ~every 128-doc block)
+        zlex.filter((F.col("df") >= 4) & (F.col("df") <= 24))
+        .orderBy(F.desc("df"), "term")
+        .first()
+    )
+    zphrase = [hot_term, rare_row["term"]]
+    extra["zipf_phrase_terms"] = "+".join(zphrase)
+    extra["zipf_rare_df"] = int(rare_row["df"])
+    t0 = time.time()
+    wand_phrase_search(zidx, zphrase, top_k=10).count()
+    extra["zipf_phrase_wand_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    phrase_search(zidx, zphrase, top_k=10).count()
+    extra["zipf_phrase_exact_s"] = round(time.time() - t0, 3)
+    zrows = zidx["postings"].filter(F.col("term").isin(zphrase)).collect()
+    zterm_rows, ztotal_b, ztotal_blocks = {}, 0, 0
+    for r in zrows:
+        t_idf = float(np.log((zn - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0))
+        bl = [
+            (d["last_docid"], d["max_tf"], d["min_dl"], d["offset"], d["bytes"])
+            for d in r["blocks"]
+        ]
+        zterm_rows[r["term"]] = (t_idf, bytes(r["postings"]), bl, 0)
+        ztotal_b += len(r["postings"])
+        ztotal_blocks += len(bl)
+    zdl = np.full(zn + 1, float(int(zavg)))
+    for r in zidx["doc_stats"].collect():
+        zdl[r["doc_int"]] = r["doc_len"]
+    zstats: dict = {}
+    wand_positional_kernel(
+        zterm_rows, zphrase, None, zdl, zn, zavg, 10, stats=zstats
+    )
+    extra["zipf_wand_decoded_bytes"] = int(zstats.get("bytes_decoded", 0))
+    extra["zipf_total_postings_bytes"] = int(ztotal_b)
+    extra["zipf_wand_decoded_frac"] = round(
+        zstats.get("bytes_decoded", 0) / max(ztotal_b, 1), 4
+    )
+    extra["zipf_blocks_total"] = int(ztotal_blocks)
+    extra["zipf_blocks_decoded"] = int(zstats.get("blocks_decoded", 0))
+    extra["zipf_wand_verified_docs"] = int(zstats.get("verified_docs", 0))
+    extra["zipf_candidate_postings"] = int(sum(r["df"] for r in zrows))
+
     # --- training-data ops ---
     raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed(
