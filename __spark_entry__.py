@@ -245,6 +245,96 @@ def q_ft_wildcard(spark, sf_dir):
     )
 
 
+def q_ft_regexp(spark, sf_dir):
+    """Regexp boolean query: "/s.*/ AND NOT join" — the /regex/ leaf is
+    expanded against the index lexicon (Lucene RegexpQuery contract:
+    anchored full-term match) by the same one-job LIKE/RLIKE pattern
+    join the glob leaves use, then evaluated by the ordinary
+    single-shuffle boolean plan. The oracle computes membership with
+    DuckDB regexp_full_match (exact while the match count stays under
+    max_expansions)."""
+    from large_scale_hypertextual_search_engine_spark.operators.boolsearch import (
+        boolean_search,
+    )
+
+    res = boolean_search(
+        _index(spark, sf_dir), "/s.*/ AND NOT join", top_k=10
+    )
+    return res.select(
+        "docid", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_ft_synonyms(spark, sf_dir):
+    """Synonym-group retrieval (Lucene SynonymQuery): groups
+    [[spark, merge], [join]] score as two pseudo-terms — per-doc tf
+    summed across group members, df = MAX member df (index metadata),
+    AND across groups. One decode, one doc_int exchange for both agg
+    levels, distributed top-k."""
+    from large_scale_hypertextual_search_engine_spark.operators.synonyms import (
+        search_synonyms,
+    )
+
+    res = search_synonyms(
+        _index(spark, sf_dir), [["spark", "merge"], ["join"]],
+        top_k=10, mode="and",
+    )
+    return res.select(
+        "docid", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_ft_mlt(spark, sf_dir):
+    """More-Like-This: top-5 tf·idf terms of the lowest-doc_id document
+    -> OR BM25 retrieval excluding the source doc (Lucene MoreLikeThis
+    contract). Term selection and scoring both oracle-expressible: the
+    same smoothed idf as keywords_tfidf, the same BM25 as ft_bm25_or."""
+    from large_scale_hypertextual_search_engine_spark.operators.mlt import (
+        more_like_this,
+    )
+
+    docs = _docs(spark, sf_dir)
+    src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.min("doc_id").cast("string"))
+        .first()[0]
+    )
+    res = more_like_this(
+        _index(spark, sf_dir), docs, src, top_k=10, max_terms=5
+    )
+    return res.select(
+        "docid", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_ft_explain(spark, sf_dir):
+    """Per-term BM25 breakdown (Lucene explain contract) for the top-5
+    of the ft_bm25_and query: one row per (hit, matched term) carrying
+    tf / df / doc_len and the idf × tf-saturation factorization whose
+    sum reproduces the hit's score."""
+    from large_scale_hypertextual_search_engine_spark.operators.explain import (
+        explain_scores,
+    )
+
+    res = explain_scores(
+        _index(spark, sf_dir), ["spark", "join"], top_k=5, mode="and"
+    )
+    return res.select(
+        F.col("rank").cast("int").alias("rank"),
+        "docid",
+        F.round("score", 6).alias("score"),
+        "term",
+        "tf", "df",
+        F.col("doc_len").cast("double").alias("doc_len"),
+        F.round("idf", 6).alias("idf"),
+        F.round("tf_comp", 6).alias("tf_comp"),
+        F.round("term_score", 6).alias("term_score"),
+    )
+
+
 def q_ft_facets(spark, sf_dir):
     """Faceted search: lang/source value counts over the FULL match set
     of the ft_bm25_and query (spark AND join) — N facet dimensions in
@@ -1202,6 +1292,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_proximity_wand": q_ft_proximity_wand,
         "ft_boolean": q_ft_boolean,
         "ft_wildcard": q_ft_wildcard,
+        "ft_regexp": q_ft_regexp,
+        "ft_synonyms": q_ft_synonyms,
+        "ft_mlt": q_ft_mlt,
+        "ft_explain": q_ft_explain,
         "ft_boolean_near": q_ft_boolean_near,
         "boolean_batch": q_boolean_batch,
         "ft_snippets": q_ft_snippets,
@@ -1532,6 +1626,7 @@ def _boolean_true_sql(
     positive: list[str],
     negative: list[str],
     positive_like: str | None = None,
+    positive_regex: str | None = None,
 ) -> str:
     """Oracle for boolean_search over the normal form
     ``(p1 OR p2 OR ...) AND NOT n1 AND NOT n2 ...``: membership = any
@@ -1544,14 +1639,17 @@ def _boolean_true_sql(
     engine expands the glob against the lexicon into an OR of concrete
     terms, which is exactly "every token matching the pattern" as long
     as max_expansions exceeds the match count (true at oracle SF: the
-    whole vocabulary is 31 terms)."""
+    whole vocabulary is 31 terms). ``positive_regex`` does the same for
+    a /regex/ leaf via regexp_full_match (the engine's RLIKE expansion
+    is ^$-anchored)."""
     pos_in = ", ".join(f"'{t}'" for t in positive)
     neg_in = ", ".join(f"'{t}'" for t in negative)
-    pos_pred = (
-        f"term LIKE '{positive_like}'"
-        if positive_like is not None
-        else f"term IN ({pos_in})"
-    )
+    if positive_regex is not None:
+        pos_pred = f"regexp_full_match(term, '{positive_regex}')"
+    elif positive_like is not None:
+        pos_pred = f"term LIKE '{positive_like}'"
+    else:
+        pos_pred = f"term IN ({pos_in})"
     return f"""
 WITH {_TOKS},{_DL_STATS},
 tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks
@@ -1769,6 +1867,110 @@ ORDER BY dist ASC, tf DESC, term ASC LIMIT 5""",
         "ft_proximity_wand": _proximity_true_sql("fast", "key", 4),
         "ft_boolean": _boolean_true_sql(["merge", "spark"], ["join"]),
         "ft_wildcard": _boolean_true_sql([], ["join"], positive_like="s%"),
+        "ft_regexp": _boolean_true_sql([], ["join"], positive_regex="s.*"),
+        "ft_synonyms": f"""
+WITH {_TOKS},{_DL_STATS},
+gmap(term, gid) AS (VALUES ('spark', 0), ('merge', 0), ('join', 1)),
+tfg AS (SELECT t.docid, g.gid, COUNT(*) AS tf_g
+        FROM toks t JOIN gmap g USING (term) GROUP BY t.docid, g.gid),
+mdf AS (SELECT term, COUNT(DISTINCT docid) AS df FROM toks
+        WHERE term IN ('spark', 'merge', 'join') GROUP BY term),
+gdf AS (SELECT g.gid, MAX(m.df) AS df_g
+        FROM gmap g JOIN mdf m USING (term) GROUP BY g.gid),
+scored AS (
+  SELECT t.docid,
+         SUM( ln((s.n_docs - f.df_g + 0.5) / (f.df_g + 0.5) + 1.0)
+            * (((1.5 + 1.0) * t.tf_g) /
+               (1.5 * (1.0 - 0.75 + 0.75 * (l.doc_len / s.avg_dl)) + t.tf_g)) ) AS score,
+         COUNT(*) AS n_matched
+  FROM tfg t
+  JOIN gdf f USING (gid)
+  JOIN dl l ON l.docid = t.docid
+  CROSS JOIN stats s
+  GROUP BY t.docid
+)
+SELECT docid,
+       CAST(row_number() OVER (ORDER BY score DESC, docid ASC) AS INTEGER) AS rank,
+       round(score, 6) AS score
+FROM scored
+WHERE n_matched = (SELECT COUNT(*) FROM gdf)
+ORDER BY score DESC, docid ASC
+LIMIT 10""",
+        "ft_mlt": f"""
+WITH {_TOKS},{_DL_STATS},
+src AS (SELECT CAST(MIN(doc_id) AS VARCHAR) AS docid FROM documents),
+stf AS (SELECT term, COUNT(*) AS tf FROM toks
+        WHERE docid = (SELECT docid FROM src) GROUP BY term),
+alldf AS (SELECT term, COUNT(DISTINCT docid) AS df FROM toks GROUP BY term),
+sel AS (
+  SELECT t.term
+  FROM stf t JOIN alldf f USING (term) CROSS JOIN stats s
+  WHERE f.df >= 2
+  ORDER BY t.tf * ln((s.n_docs + 1.0) / (f.df + 1.0)) DESC, t.term ASC
+  LIMIT 5
+),
+tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks
+        WHERE term IN (SELECT term FROM sel) GROUP BY docid, term),
+dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
+scored AS (
+  SELECT t.docid,
+         SUM( ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+            * (((1.5 + 1.0) * t.tf) /
+               (1.5 * (1.0 - 0.75 + 0.75 * (l.doc_len / s.avg_dl)) + t.tf)) ) AS score
+  FROM tfs t
+  JOIN dfs f USING (term)
+  JOIN dl l ON l.docid = t.docid
+  CROSS JOIN stats s
+  WHERE t.docid <> (SELECT docid FROM src)
+  GROUP BY t.docid
+)
+SELECT docid,
+       CAST(row_number() OVER (ORDER BY score DESC, docid ASC) AS INTEGER) AS rank,
+       round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, docid ASC
+LIMIT 10""",
+        "ft_explain": f"""
+WITH {_TOKS},{_DL_STATS},
+tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ('spark', 'join') GROUP BY docid, term),
+dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
+cand AS (SELECT docid FROM tfs GROUP BY docid
+         HAVING COUNT(DISTINCT term) = (SELECT COUNT(*) FROM dfs)),
+scored AS (
+  SELECT t.docid,
+         SUM( ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+            * (((1.5 + 1.0) * t.tf) /
+               (1.5 * (1.0 - 0.75 + 0.75 * (l.doc_len / s.avg_dl)) + t.tf)) ) AS score
+  FROM tfs t
+  JOIN cand c ON c.docid = t.docid
+  JOIN dfs f USING (term)
+  JOIN dl l ON l.docid = t.docid
+  CROSS JOIN stats s
+  GROUP BY t.docid
+),
+topk AS (
+  SELECT docid,
+         CAST(row_number() OVER (ORDER BY score DESC, docid ASC) AS INTEGER) AS rank,
+         score
+  FROM scored ORDER BY score DESC, docid ASC LIMIT 5
+)
+SELECT k.rank, t.docid, round(k.score, 6) AS score, t.term,
+       CAST(t.tf AS BIGINT) AS tf,
+       CAST(f.df AS BIGINT) AS df,
+       CAST(l.doc_len AS DOUBLE) AS doc_len,
+       round(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0), 6) AS idf,
+       round(((1.5 + 1.0) * t.tf) /
+             (1.5 * (1.0 - 0.75 + 0.75 * (l.doc_len / s.avg_dl)) + t.tf), 6) AS tf_comp,
+       round(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           * (((1.5 + 1.0) * t.tf) /
+              (1.5 * (1.0 - 0.75 + 0.75 * (l.doc_len / s.avg_dl)) + t.tf)), 6) AS term_score
+FROM tfs t
+JOIN topk k ON k.docid = t.docid
+JOIN dfs f USING (term)
+JOIN dl l ON l.docid = t.docid
+CROSS JOIN stats s
+ORDER BY k.rank, t.term""",
         "ft_boolean_near": _boolean_near_sql("fast", "key", 4, "merge"),
         "pagerank_top": _pagerank_sql(6, 0.85),
         "ft_rm3": f"""

@@ -12,7 +12,12 @@ descent parser for
     not     := NOT not | prox
     prox    := atom ((NEAR/k | PRE/k) atom)?   -- term operands only
     atom    := '(' query ')' | [field ':'] '"' phrase '"'
-             | [field ':'] term
+             | [field ':'] '/' regex '/' | [field ':'] term
+
+Terms containing ``*``/``?`` are wildcard leaves; ``/.../``-delimited
+atoms are regex leaves (anchored full-term match, Lucene RegexpQuery).
+Both expand against the index lexicon before evaluation (one shared
+metadata-scale job, :func:`expand_wildcards`).
 
 (keywords case-insensitive; quoted phrases use the positional index,
 see operators/phrase.py) and an evaluator that compiles the AST into a
@@ -99,17 +104,24 @@ class Near:
 @dataclass(frozen=True)
 class Wildcard:
     """Multi-term leaf: ``te*`` / ``t?st`` (``*`` = any run, ``?`` = one
-    char). Matched against INDEX terms (post-analysis, so patterns are
-    not stemmed — Lucene's wildcard contract) and REWRITTEN before
-    evaluation into an OR of the concrete matching terms
-    (:func:`expand_wildcards`), capped at ``max_expansions`` by
-    (df desc, term asc); zero matches become a never-present sentinel
-    term, so ``x OR zzz*`` degrades to ``x`` and ``x AND NOT zzz*``
-    excludes nothing. Expanded terms score as ordinary OR terms
-    (Lucene's SCORING_BOOLEAN_REWRITE)."""
+    char), or — with ``kind="regex"`` — a ``/regex/`` literal matched as
+    a FULL anchored regular expression. Matched against INDEX terms
+    (post-analysis, so patterns are not stemmed — Lucene's wildcard /
+    RegexpQuery contract) and REWRITTEN before evaluation into an OR of
+    the concrete matching terms (:func:`expand_wildcards`), capped at
+    ``max_expansions`` by (df desc, term asc); zero matches become a
+    never-present sentinel term, so ``x OR zzz*`` degrades to ``x`` and
+    ``x AND NOT zzz*`` excludes nothing. Expanded terms score as
+    ordinary OR terms (Lucene's SCORING_BOOLEAN_REWRITE). Regex
+    patterns are taken verbatim (not lowercased, not analyzed) and must
+    stay within the Java/Python/RE2 common syntax — the expansion runs
+    JVM-side (``RLIKE``) on the Spark path and via ``re`` on the warm
+    serving path, kept in agreement by the parser's up-front
+    ``re.compile`` validation plus the parity pytest."""
 
     pattern: str
     field: str | None = None
+    kind: str = "glob"
 
 
 @dataclass(frozen=True)
@@ -251,6 +263,13 @@ def parse_query(q: str, analyze=None) -> Node:
             return _make_leaf(val.split(), analyze, field=None)
         if kind == "TERM":
             field, word = _split_field(val)
+            if len(word) >= 3 and word.startswith("/") and word.endswith("/"):
+                pat = word[1:-1]
+                try:
+                    re.compile(pat)
+                except re.error as e:
+                    raise ValueError(f"invalid regex {pat!r}: {e}") from e
+                return Wildcard(pat, field=field, kind="regex")
             if "*" in word or "?" in word:
                 if not word.strip("*?"):
                     raise ValueError(
@@ -378,78 +397,99 @@ def expand_wildcards_local(
     pats = _collect_patterns(node)
     if not pats:
         return node
-    mapping: dict[tuple[str, str | None], tuple[str, ...]] = {}
-    for pat, field in pats:
-        rx = _glob_to_regex(pat)
+    mapping: dict[tuple[str, str | None, str], tuple[str, ...]] = {}
+    for pat, field, kind in pats:
+        rx = (
+            re.compile("(?:" + pat + r")\Z")
+            if kind == "regex"
+            else _glob_to_regex(pat)
+        )
         hits = [
             (-int(df), str(t))
             for t, df in zip(terms, dfs)
             if rx.match(str(t))
         ]
         hits.sort()
-        mapping[(pat, field)] = tuple(
+        mapping[(pat, field, kind)] = tuple(
             t for _, t in hits[:max_expansions]
         )
     return _rewrite_wildcards(node, mapping)
 
 
-def _collect_patterns(node: Node) -> set[tuple[str, str | None]]:
+def _collect_patterns(node: Node) -> set[tuple[str, str | None, str]]:
     return {
-        (l.pattern, l.field) for l in _leaves(node) if isinstance(l, Wildcard)
+        (l.pattern, l.field, l.kind)
+        for l in _leaves(node)
+        if isinstance(l, Wildcard)
     }
 
 
 def _expand_map(
     lexicon_for,
-    patterns: set[tuple[str, str | None]],
+    patterns: set[tuple[str, str | None, str]],
     max_expansions: int,
-) -> dict[tuple[str, str | None], tuple[str, ...]]:
+) -> dict[tuple[str, str | None, str], tuple[str, ...]]:
     """One lexicon job per distinct source lexicon: broadcast the
-    pattern table, LIKE-join against (term, df), keep each pattern's
-    top ``max_expansions`` terms by (df desc, term asc). The lexicon is
-    index METADATA (orders of magnitude smaller than postings), and the
-    rank window partitions by pattern over only that pattern's matches,
-    bounded by the lexicon — the standard MultiTermQuery envelope; the
-    cap keeps the rewritten query itself small."""
-    by_lex: dict[int, tuple[DataFrame, list[tuple[str, str | None]]]] = {}
-    for pat, field in patterns:
+    pattern table, LIKE/RLIKE-join against (term, df), keep each
+    pattern's top ``max_expansions`` terms by (df desc, term asc). The
+    lexicon is index METADATA (orders of magnitude smaller than
+    postings), and the rank window partitions by pattern over only that
+    pattern's matches, bounded by the lexicon — the standard
+    MultiTermQuery envelope; the cap keeps the rewritten query itself
+    small. Glob and regex patterns share one pattern table and one
+    join: each row carries its kind, a LIKE translation (globs) and an
+    anchored regex (regex leaves), and the join predicate dispatches
+    per row — still a single broadcast nested-loop over metadata."""
+    by_lex: dict[int, tuple[DataFrame, list[tuple[str, str | None, str]]]] = {}
+    for pat, field, kind in patterns:
         lex = lexicon_for(field)
         key = id(lex._jdf) if hasattr(lex, "_jdf") else id(lex)
-        by_lex.setdefault(key, (lex, []))[1].append((pat, field))
-    out: dict[tuple[str, str | None], tuple[str, ...]] = {
+        by_lex.setdefault(key, (lex, []))[1].append((pat, field, kind))
+    out: dict[tuple[str, str | None, str], tuple[str, ...]] = {
         k: () for k in patterns
     }
     for lex, pats in by_lex.values():
         spark = lex.sparkSession
         pat_df = spark.createDataFrame(
             [
-                (p, _glob_to_like(p))
-                for p in dict.fromkeys(p for p, _ in pats)
+                (p, k, _glob_to_like(p) if k == "glob" else None,
+                 "^(?:" + p + ")$" if k == "regex" else None)
+                for p, k in dict.fromkeys((p, k) for p, _, k in pats)
             ],
-            "pattern string, like_pat string",
+            "pattern string, kind string, like_pat string, re_pat string",
         )
-        w = Window.partitionBy("pattern").orderBy(F.desc("df"), F.asc("term"))
+        w = Window.partitionBy("pattern", "kind").orderBy(
+            F.desc("df"), F.asc("term")
+        )
         rows = (
             lex.select("term", "df")
-            .join(F.broadcast(pat_df), F.expr("term LIKE like_pat"))
+            .join(
+                F.broadcast(pat_df),
+                F.expr(
+                    "(kind = 'glob' AND term LIKE like_pat) OR "
+                    "(kind = 'regex' AND term RLIKE re_pat)"
+                ),
+            )
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= max_expansions)
-            .select("pattern", "term", "rn")
+            .select("pattern", "kind", "term", "rn")
             .collect()
         )
-        got: dict[str, list[tuple[int, str]]] = {}
+        got: dict[tuple[str, str], list[tuple[int, str]]] = {}
         for r in rows:
-            got.setdefault(r["pattern"], []).append((r["rn"], r["term"]))
-        for pat, field in pats:
-            out[(pat, field)] = tuple(
-                t for _, t in sorted(got.get(pat, []))
+            got.setdefault((r["pattern"], r["kind"]), []).append(
+                (r["rn"], r["term"])
+            )
+        for pat, field, kind in pats:
+            out[(pat, field, kind)] = tuple(
+                t for _, t in sorted(got.get((pat, kind), []))
             )
     return out
 
 
 def _rewrite_wildcards(node: Node, mapping: dict) -> Node:
     if isinstance(node, Wildcard):
-        terms = mapping[(node.pattern, node.field)]
+        terms = mapping[(node.pattern, node.field, node.kind)]
         if not terms:
             return Term(_NOMATCH_TERM, field=node.field)
         if len(terms) == 1:

@@ -1,0 +1,136 @@
+"""More-Like-This: find documents similar to a source document.
+
+Lucene's ``MoreLikeThis`` contract (queries/mlt): extract the source
+document's most characteristic terms by tf·idf, build an OR query from
+the top ``max_terms``, and rank the corpus against it — excluding the
+source document itself. The reference engine has nothing comparable
+(its query side accepts only user-typed term lists); MLT is the
+standard "related documents / near-duplicate triage" surface a search
+deployment needs, and for a training-data pipeline it doubles as a
+cheap source-conditioned retrieval primitive.
+
+Term selection uses the house smoothed idf — ``tf · ln((N + 1) /
+(df + 1))``, identical to ``keywords.extract_keywords`` and the RM3
+expander — with deterministic (weight desc, term asc) tie-break, so
+the selected query is reproducible and oracle-expressible. df comes
+from the INDEX lexicon (metadata, broadcast), tf from tokenizing just
+the source document (a pushed-down single-doc scan of the corpus
+table, not a postings decode: reading one doc's text is O(doc), while
+discovering one doc's terms from an inverted index is O(index)).
+
+Plan: single-doc scan -> explode/count (a few hundred rows) ->
+broadcast lexicon join -> top-``max_terms`` collect (tiny, one
+driver round-trip — same envelope as RM3's expansion collect) ->
+``match_docs`` OR retrieval (fully distributed, no rank-window
+funnel) -> drop the source doc -> distributed ``orderBy().limit(k)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.bm25 import K1, B
+from .query import _stats, match_docs
+
+__all__ = ["mlt_terms", "more_like_this"]
+
+
+def mlt_terms(
+    index: dict[str, DataFrame],
+    docs: DataFrame,
+    docid: str,
+    max_terms: int = 5,
+    min_df: int = 2,
+    text_col: str = "content",
+    id_col: str = "docid",
+) -> list[str]:
+    """Top ``max_terms`` characteristic terms of ``docid`` by smoothed
+    tf·idf (see module docstring). Terms must exist in the index
+    lexicon with df >= ``min_df`` (default 2 — a df-1 term occurs in
+    NO other document, so it can never contribute a hit beyond the
+    excluded source; Lucene's minDocFreq guard). Tokenization is the engine's
+    "simple" split-on-space (the mode the driver indexes use); pass a
+    pre-analyzed text column for other analyzers."""
+    n_docs, _ = _stats(index)
+    tf = (
+        docs.filter(F.col(id_col).cast("string") == str(docid))
+        .select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+    )
+    rows = (
+        tf.join(
+            F.broadcast(index["lexicon"].select("term", "df")), "term"
+        )
+        .filter(F.col("df") >= min_df)
+        .withColumn(
+            "weight",
+            F.col("tf")
+            * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)),
+        )
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(max_terms)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            f"doc {docid!r}: no indexable terms (missing doc, empty text, "
+            f"or every term below min_df={min_df})"
+        )
+    return [r["term"] for r in rows]
+
+
+def more_like_this(
+    index: dict[str, DataFrame],
+    docs: DataFrame,
+    docid: str,
+    top_k: int = 10,
+    max_terms: int = 5,
+    min_df: int = 2,
+    tf_mode: str = "true",
+    k1: float = K1,
+    b: float = B,
+    text_col: str = "content",
+    id_col: str = "docid",
+    doc_filter: DataFrame | None = None,
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """Documents most similar to ``docid`` -> (rank, doc_int, docid,
+    score): OR-mode BM25 over the source doc's top-``max_terms`` tf·idf
+    terms, source doc excluded. Score semantics identical to
+    ``search(terms, mode="or")`` (same fold, same tiebreak). Pass
+    ``terms`` (e.g. from an earlier :func:`mlt_terms` call) to skip the
+    selection job."""
+    if terms is None:
+        terms = mlt_terms(
+            index, docs, docid,
+            max_terms=max_terms, min_df=min_df,
+            text_col=text_col, id_col=id_col,
+        )
+    per_doc = match_docs(
+        index, terms, mode="or", tf_mode=tf_mode, k1=k1, b=b,
+        doc_filter=doc_filter,
+    )
+    # exclude the source doc by doc_int (a broadcast 1-row anti-join
+    # against the pushed-down docid_map filter) so the full docid_map
+    # — corpus-sized at 10^12 docs — is never joined before the limit
+    src = index["docid_map"].filter(
+        F.col("docid") == str(docid)
+    ).select("doc_int")
+    per_doc = per_doc.join(F.broadcast(src), "doc_int", "anti")
+    w = Window.orderBy(F.desc("score"), F.asc("doc_int"))
+    topk = (
+        per_doc.orderBy(F.desc("score"), F.asc("doc_int"))
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return (
+        F.broadcast(topk)
+        .join(index["docid_map"], "doc_int")
+        .select("rank", "doc_int", "docid", "score")
+        .orderBy("rank")
+    )

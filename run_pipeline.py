@@ -168,6 +168,54 @@ def cmd_search(args) -> None:
             idx, args.query, top_k=args.top_k, tf_mode=args.tf_mode,
             analyze=analyze,
         )
+    elif args.explain:
+        from large_scale_hypertextual_search_engine_spark.operators.explain import (
+            explain_scores,
+        )
+
+        if args.analyzer == "simple":
+            terms = tokenize_simple(args.query)
+        else:
+            terms = [t.term for t in tokenize_compat(args.query, stem=args.stem)]
+        rows = explain_scores(
+            idx, terms, top_k=args.top_k, mode=args.mode,
+            tf_mode=args.tf_mode, doc_filter=_cli_doc_filter(spark, args),
+        ).collect()
+        wall = time.time() - t0
+        last = None
+        for r in rows:
+            if r["rank"] != last:
+                print(f"{r['rank']:3d}  {r['score']:12.6f}  {r['docid']}")
+                last = r["rank"]
+            print(
+                f"      {r['term']:<18s} tf={r['tf']:<4d} df={r['df']:<6d} "
+                f"dl={r['doc_len']:.0f} idf={r['idf']:.4f} "
+                f"tf_comp={r['tf_comp']:.4f} -> {r['term_score']:.6f}"
+            )
+        print(json.dumps(
+            {"hits": len({r['rank'] for r in rows}),
+             "wall_sec": round(wall, 3)}
+        ))
+        return
+    elif args.synonyms:
+        from large_scale_hypertextual_search_engine_spark.operators.synonyms import (
+            search_synonyms,
+        )
+
+        if args.analyzer == "simple":
+            analyze = tokenize_simple
+        else:
+            analyze = lambda w: [  # noqa: E731
+                t.term for t in tokenize_compat(w, stem=args.stem)
+            ]
+        groups = [
+            [t for m in g.split("|") for t in analyze(m)]
+            for g in args.query.split()
+        ]
+        res = search_synonyms(
+            idx, groups, top_k=args.top_k, mode=args.mode,
+            tf_mode=args.tf_mode, doc_filter=_cli_doc_filter(spark, args),
+        )
     elif args.near is not None:
         from large_scale_hypertextual_search_engine_spark.operators.phrase import (
             proximity_search,
@@ -736,6 +784,40 @@ def cmd_analyze(args) -> None:
             print("  " + "  ".join(str(v) for v in r))
 
 
+def cmd_mlt(args) -> None:
+    """More-Like-This: docs most similar to --docid (top tf·idf terms
+    of the source doc -> OR BM25, source excluded)."""
+    from pyspark.sql import functions as F
+
+    from large_scale_hypertextual_search_engine_spark.operators.mlt import (
+        mlt_terms, more_like_this,
+    )
+    from large_scale_hypertextual_search_engine_spark.plans.lineage import (
+        load_index,
+    )
+
+    spark = _spark("lshse-mlt")
+    idx = load_index(spark, args.index)
+    docs = spark.read.parquet(args.corpus).select(
+        F.col(args.id_col).cast("string").alias("docid"),
+        F.col(args.text_col).alias("content"),
+    )
+    t0 = time.time()
+    terms = mlt_terms(
+        idx, docs, args.docid, max_terms=args.max_terms, min_df=args.min_df
+    )
+    print(json.dumps({"mlt_terms": terms}))
+    res = more_like_this(
+        idx, docs, args.docid, top_k=args.top_k, tf_mode=args.tf_mode,
+        terms=terms,
+    )
+    rows = res.collect()
+    wall = time.time() - t0
+    for r in rows:
+        print(f"{r['rank']:3d}  {r['score']:12.6f}  {r['docid']}")
+    print(json.dumps({"hits": len(rows), "wall_sec": round(wall, 3)}))
+
+
 def cmd_search_bm25f(args) -> None:
     """BM25F fielded retrieval over per-field indexes.
     --field name=INDEX_DIR:WEIGHT (repeatable)."""
@@ -961,6 +1043,18 @@ def main() -> None:
         help="warm in-memory serving path (SearchServer)",
     )
     p.add_argument(
+        "--explain", action="store_true",
+        help="print the per-term BM25 breakdown (tf/df/dl, idf × "
+             "tf-saturation) for each hit (operators/explain.py)",
+    )
+    p.add_argument(
+        "--synonyms", action="store_true",
+        help='treat each space-separated --query token as a synonym '
+             'group, members |-separated ("spark|sprk join"): group '
+             "members score as ONE term — summed tf, max member df "
+             "(Lucene SynonymQuery; operators/synonyms.py)",
+    )
+    p.add_argument(
         "--fuzzy", action="store_true",
         help="rewrite out-of-vocabulary terms to their closest lexicon "
              'term ("did you mean", operators/fuzzy.py)',
@@ -1046,6 +1140,25 @@ def main() -> None:
     p.add_argument("--skip-interval", type=int, default=128)
     p.add_argument("--shard", action="store_true", help="per-barrel shards")
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser(
+        "mlt", help="documents most similar to one document "
+                    "(More-Like-This, operators/mlt.py)",
+    )
+    p.add_argument("--index", required=True)
+    p.add_argument("--corpus", required=True, metavar="PARQUET",
+                   help="corpus table holding the source doc's text")
+    p.add_argument("--docid", required=True)
+    p.add_argument("--top-k", type=int, default=10)
+    p.add_argument("--max-terms", type=int, default=5,
+                   help="number of tf·idf query terms to select")
+    p.add_argument("--min-df", type=int, default=2,
+                   help="ignore terms in fewer docs (df-1 terms can "
+                        "never yield a non-source hit)")
+    p.add_argument("--tf-mode", default="true", choices=["true", "compat"])
+    p.add_argument("--id-col", default="docid")
+    p.add_argument("--text-col", default="content")
+    p.set_defaults(fn=cmd_mlt)
 
     p = sub.add_parser("suggest", help="autocomplete over a saved index")
     p.add_argument("--index", required=True)

@@ -1,0 +1,155 @@
+"""More-Like-This (tf·idf term selection + OR retrieval, source doc
+excluded) and per-term BM25 score explanation.
+"""
+
+import math
+
+import pytest
+
+from large_scale_hypertextual_search_engine_spark.functions.bm25 import (
+    bm25_score_py,
+)
+from large_scale_hypertextual_search_engine_spark.operators.explain import (
+    explain_scores,
+)
+from large_scale_hypertextual_search_engine_spark.operators.index_build import (
+    build_index,
+)
+from large_scale_hypertextual_search_engine_spark.operators.mlt import (
+    mlt_terms,
+    more_like_this,
+)
+from large_scale_hypertextual_search_engine_spark.operators.query import search
+
+
+@pytest.fixture(scope="module")
+def mlt_fixture(spark):
+    docs_df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("cast(doc_id as string) as docid", "text as content")
+    )
+    idx = build_index(docs_df, mode="simple", stem=False, salt_buckets=2)
+    for k in ("doc_stats", "postings", "lexicon", "docid_map",
+              "collection_stats"):
+        idx[k] = idx[k].cache()
+    docs = {
+        r["docid"]: [t for t in r["content"].split(" ") if t]
+        for r in docs_df.collect()
+    }
+    return idx, docs_df, docs
+
+
+def _brute_mlt_terms(docs, docid, max_terms=5, min_df=2):
+    n = len(docs)
+    df = {}
+    for toks in docs.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    toks = docs[docid]
+    cands = [
+        (t, toks.count(t) * math.log((n + 1.0) / (df[t] + 1.0)))
+        for t in dict.fromkeys(toks)
+        if df.get(t, 0) >= min_df
+    ]
+    cands.sort(key=lambda x: (-x[1], x[0]))
+    return [t for t, _ in cands[:max_terms]]
+
+
+# ----------------------------------------------------------------- MLT
+
+def test_mlt_terms_match_brute_force(mlt_fixture):
+    idx, docs_df, docs = mlt_fixture
+    for docid in sorted(docs)[:3]:
+        assert mlt_terms(idx, docs_df, docid, max_terms=5) == \
+            _brute_mlt_terms(docs, docid, 5), docid
+
+
+def test_mlt_excludes_source_and_matches_or_search(mlt_fixture):
+    idx, docs_df, docs = mlt_fixture
+    docid = sorted(docs)[0]
+    res = more_like_this(idx, docs_df, docid, top_k=10, max_terms=5)
+    rows = res.collect()
+    assert all(r["docid"] != docid for r in rows)
+    # same ranking as an OR search over the selected terms with the
+    # source doc dropped
+    terms = mlt_terms(idx, docs_df, docid, max_terms=5)
+    base = [
+        (r["docid"], round(r["score"], 9))
+        for r in search(idx, terms, top_k=10**6, mode="or").collect()
+        if r["docid"] != docid
+    ][:10]
+    got = [(r["docid"], round(r["score"], 9)) for r in rows]
+    assert got == base
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_mlt_missing_doc_raises(mlt_fixture):
+    idx, docs_df, _ = mlt_fixture
+    with pytest.raises(ValueError, match="no indexable terms"):
+        mlt_terms(idx, docs_df, "no-such-doc-id")
+
+
+# ------------------------------------------------------------- explain
+
+def test_explain_totals_and_ranks_match_search(mlt_fixture):
+    idx, _, docs = mlt_fixture
+    terms = _two_common_terms(docs)
+    hits = {
+        r["docid"]: (r["rank"], r["score"])
+        for r in search(idx, terms, top_k=5, mode="and").collect()
+    }
+    rows = explain_scores(idx, terms, top_k=5, mode="and").collect()
+    assert {r["docid"] for r in rows} == set(hits)
+    for docid, (rank, score) in hits.items():
+        mine = [r for r in rows if r["docid"] == docid]
+        assert all(r["rank"] == rank and r["score"] == score for r in mine)
+        acc = 0.0
+        for x in sorted(r["term_score"] for r in mine):
+            acc += x
+        assert abs(acc - score) < 1e-9
+        # AND mode: every present query term appears in the breakdown
+        assert {r["term"] for r in mine} == set(terms)
+
+
+def test_explain_components_match_python_mirror(mlt_fixture):
+    idx, _, docs = mlt_fixture
+    terms = _two_common_terms(docs)
+    n = len(docs)
+    avg_dl = sum(len(t) for t in docs.values()) / n
+    df = {}
+    for toks in docs.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    for r in explain_scores(idx, terms, top_k=5, mode="and").collect():
+        toks = docs[r["docid"]]
+        assert r["tf"] == toks.count(r["term"])
+        assert r["df"] == df[r["term"]]
+        assert r["doc_len"] == float(len(toks))
+        expected = bm25_score_py(r["tf"], r["df"], len(toks), n, avg_dl)
+        assert abs(r["term_score"] - expected) < 1e-12
+        assert abs(r["idf"] * r["tf_comp"] - r["term_score"]) < 1e-15
+
+
+def test_explain_compat_mode_reports_true_tf_scores_tf1(mlt_fixture):
+    idx, _, docs = mlt_fixture
+    terms = _two_common_terms(docs)
+    n = len(docs)
+    avg_dl = sum(len(t) for t in docs.values()) / n
+    rows = explain_scores(idx, terms, top_k=5, tf_mode="compat").collect()
+    assert rows
+    for r in rows:
+        toks = docs[r["docid"]]
+        # true stored tf is still reported...
+        assert r["tf"] == toks.count(r["term"])
+        # ...but the scored contribution uses the compat tf=1 quirk
+        expected = bm25_score_py(1.0, r["df"], len(toks), n, avg_dl)
+        assert abs(r["term_score"] - expected) < 1e-12
+
+
+def _two_common_terms(docs):
+    df = {}
+    for toks in docs.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    common = sorted(df, key=lambda t: (-df[t], t))
+    return [common[0], common[1]]

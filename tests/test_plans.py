@@ -288,3 +288,57 @@ def test_single_query_search_topk_is_distributed(spark, small_index):
     win_at = [i for i, l in enumerate(lines) if "Window" in l]
     take_at = [i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l]
     assert win_at and take_at and max(win_at) < min(take_at), plan
+
+
+def test_synonyms_single_doc_exchange_distributed_topk(spark, small_index):
+    """search_synonyms: one explicit doc_int repartition serves both
+    agg levels (per-(doc, group) tf sum and per-doc fold); top-k is a
+    TakeOrderedAndProject — no single-partition rank window."""
+    from large_scale_hypertextual_search_engine_spark.operators.synonyms import (
+        search_synonyms,
+    )
+
+    plan = _plan(
+        search_synonyms(small_index, [["the", "and"], ["of"]], top_k=5)
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    # exactly one hash repartition of the candidate frame
+    assert plan.count("REPARTITION_BY_NUM") == 1, plan
+    lines = plan.splitlines()
+    win_at = [i for i, l in enumerate(lines) if "Window" in l]
+    take_at = [i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l]
+    assert win_at and take_at and max(win_at) < min(take_at), plan
+
+
+def test_mlt_topk_is_distributed(spark, small_index):
+    """more_like_this: retrieval rides match_docs (no rank-window
+    funnel) + TakeOrderedAndProject; the source-doc exclusion is a
+    broadcast anti-join, not a docid_map-wide join below the limit."""
+    from large_scale_hypertextual_search_engine_spark.operators.mlt import (
+        more_like_this,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("cast(doc_id as string) as docid", "text as content")
+        .limit(120)
+    )
+    docid = docs.selectExpr("min(docid)").first()[0]
+    plan = _plan(more_like_this(small_index, docs, docid, top_k=5))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "REPARTITION_BY_NUM" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_explain_prunes_to_topk_before_output(spark, small_index):
+    """explain_scores: the per-term breakdown joins the k survivors as
+    a BROADCAST (the wide candidate frame is pruned to k docs before
+    any output), and no single-partition window exists."""
+    from large_scale_hypertextual_search_engine_spark.operators.explain import (
+        explain_scores,
+    )
+
+    plan = _plan(explain_scores(small_index, ["the", "and"], top_k=5))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "REPARTITION_BY_NUM" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
