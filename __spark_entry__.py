@@ -310,6 +310,24 @@ def q_ft_mlt(spark, sf_dir):
     )
 
 
+def q_ft_related(spark, sf_dir):
+    """Batch More-Like-This over the whole documents table: for every
+    doc, its top-3 related docs by OR BM25 over the doc's top-3 tf·idf
+    terms (self excluded). One job — no per-source loop, postings
+    pruned by a term semi-join, per-source rank windows."""
+    from large_scale_hypertextual_search_engine_spark.operators.mlt import (
+        related_docs,
+    )
+
+    res = related_docs(
+        _index(spark, sf_dir), _docs(spark, sf_dir), top_k=3, max_terms=3
+    )
+    return res.select(
+        "src_docid", F.col("rank").cast("int").alias("rank"),
+        "docid", F.round("score", 6).alias("score"),
+    )
+
+
 def q_ft_explain(spark, sf_dir):
     """Per-term BM25 breakdown (Lucene explain contract) for the top-5
     of the ft_bm25_and query: one row per (hit, matched term) carrying
@@ -1295,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_regexp": q_ft_regexp,
         "ft_synonyms": q_ft_synonyms,
         "ft_mlt": q_ft_mlt,
+        "ft_related": q_ft_related,
         "ft_explain": q_ft_explain,
         "ft_boolean_near": q_ft_boolean_near,
         "boolean_batch": q_boolean_batch,
@@ -1930,6 +1949,49 @@ SELECT docid,
 FROM scored
 ORDER BY score DESC, docid ASC
 LIMIT 10""",
+        "ft_related": f"""
+WITH {_TOKS},{_DL_STATS},
+tf0 AS (SELECT docid, term, COUNT(*) AS qtf FROM toks GROUP BY docid, term),
+alldf AS (SELECT term, COUNT(DISTINCT docid) AS df FROM toks GROUP BY term),
+sel AS (
+  SELECT src_docid, term FROM (
+    SELECT t.docid AS src_docid, t.term,
+           row_number() OVER (
+             PARTITION BY t.docid
+             ORDER BY t.qtf * ln((s.n_docs + 1.0) / (f.df + 1.0)) DESC,
+                      t.term ASC
+           ) AS rn
+    FROM tf0 t JOIN alldf f USING (term) CROSS JOIN stats s
+    WHERE f.df >= 2
+  ) WHERE rn <= 3
+),
+tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks
+        WHERE term IN (SELECT DISTINCT term FROM sel) GROUP BY docid, term),
+dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
+scored AS (
+  SELECT q.src_docid, t.docid,
+         SUM( ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+            * (((1.5 + 1.0) * t.tf) /
+               (1.5 * (1.0 - 0.75 + 0.75 * (l.doc_len / s.avg_dl)) + t.tf)) ) AS score
+  FROM sel q
+  JOIN tfs t USING (term)
+  JOIN dfs f USING (term)
+  JOIN dl l ON l.docid = t.docid
+  CROSS JOIN stats s
+  WHERE t.docid <> q.src_docid
+  GROUP BY q.src_docid, t.docid
+),
+ranked AS (
+  SELECT src_docid,
+         CAST(row_number() OVER (
+           PARTITION BY src_docid ORDER BY score DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         docid, round(score, 6) AS score
+  FROM scored
+)
+SELECT src_docid, rank, docid, score
+FROM ranked WHERE rank <= 3
+ORDER BY src_docid, rank""",
         "ft_explain": f"""
 WITH {_TOKS},{_DL_STATS},
 tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks

@@ -232,6 +232,33 @@ def main() -> None:
     pagerank(edges, n_iter=6).count()
     extra["pagerank6_s"] = round(time.time() - t0, 3)
 
+    # --- round-5: corpus-wide batch More-Like-This (related docs for
+    # EVERY document in one job; per-source results identical to the
+    # single-doc path). max_df caps candidate volume the way a real
+    # deployment would (Lucene maxDocFreq).
+    from large_scale_hypertextual_search_engine_spark.operators.mlt import (
+        related_docs,
+    )
+
+    # 500 sources against the full index: the driver corpus has a
+    # 31-term vocabulary, so EVERY term is stopword-grade (df ~ n/4)
+    # and candidate volume is sources x max_terms x df — a real corpus
+    # bounds this with max_df; here we bound sources instead so the
+    # extra stays an extra.
+    docs_txt = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.col("doc_id").cast("string").alias("docid"),
+            F.col("text").alias("content"),
+        )
+        .orderBy("docid")
+        .limit(500)
+    )
+    t0 = time.time()
+    n_rel = related_docs(idx, docs_txt, top_k=5, max_terms=3).count()
+    extra["related_500src_s"] = round(time.time() - t0, 3)
+    extra["related_rows"] = int(n_rel)
+
     # --- round-5: two-phase positional retrieval on a hot-term phrase.
     # phrase_exact decodes the FULL posting lists of both terms; the
     # WAND path decodes only blocks that survive AND alignment +

@@ -29,10 +29,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.bm25 import K1, B
-from .query import _stats, match_docs
+from ..functions.bm25 import K1, B, bm25_score
+from .query import _stats, decode_postings_df, exclude_tombstones, match_docs
 
-__all__ = ["mlt_terms", "more_like_this"]
+__all__ = ["mlt_terms", "more_like_this", "related_docs"]
 
 
 def mlt_terms(
@@ -133,4 +133,140 @@ def more_like_this(
         .join(index["docid_map"], "doc_int")
         .select("rank", "doc_int", "docid", "score")
         .orderBy("rank")
+    )
+
+
+def related_docs(
+    index: dict[str, DataFrame],
+    docs: DataFrame,
+    top_k: int = 10,
+    max_terms: int = 5,
+    min_df: int = 2,
+    max_df: int | None = None,
+    tf_mode: str = "true",
+    k1: float = K1,
+    b: float = B,
+    text_col: str = "content",
+    id_col: str = "docid",
+) -> DataFrame:
+    """Batch More-Like-This: for EVERY document in ``docs``, its
+    ``top_k`` most similar other documents -> (src_docid, rank, docid,
+    score). The corpus-scale "related documents / semantic near-dup
+    triage" pipeline: one job, no driver-side term collect, no
+    per-query loop — per-source results are identical to
+    ``more_like_this`` called per doc (pytest-asserted).
+
+    Plan (three wide exchanges, all key-distributed):
+    1. term selection — one explode + per-(doc, term) count, a lexicon
+       df join (metadata; Catalyst broadcasts when small), and a
+       per-doc rank window (partitioned by doc — no funnel) keeping the
+       top ``max_terms`` by the house smoothed tf·idf;
+    2. candidate generation — postings are pruned by a SEMI-JOIN on the
+       selected-term frame (the term set is data-scale here, so no
+       driver isin list / bucket collect), decoded once, then joined to
+       the query table by term;
+    3. scoring — per-(source, candidate) BM25 fold and a per-source
+       rank window, both clustered on the source key so one hash
+       exchange serves both.
+
+    ``max_df`` is the Lucene MLT ``maxDocFreq`` guard and the SCALE
+    knob: a selected term contributes df(term) candidate rows per
+    selecting source, so stopword-grade terms must be capped out —
+    candidate volume is bounded by n_docs · max_terms · max_df.
+    ``min_df`` (default 2) drops hapaxes, which can never produce a
+    non-self hit. Self-matches are excluded by construction.
+    """
+    spark = index["postings"].sparkSession
+    n_docs, avg_dl = _stats(index)
+
+    lex = index["lexicon"].select("term", "df").filter(
+        F.col("df") >= min_df
+    )
+    if max_df is not None:
+        lex = lex.filter(F.col("df") <= max_df)
+
+    tf = (
+        docs.select(
+            F.col(id_col).cast("string").alias("src_docid"),
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+            ).alias("term"),
+        )
+        .groupBy("src_docid", "term")
+        .agg(F.count("*").alias("qtf"))
+    )
+    wsel = Window.partitionBy("src_docid").orderBy(
+        F.desc("weight"), F.asc("term")
+    )
+    queries = (
+        tf.join(lex, "term")
+        .withColumn(
+            "weight",
+            F.col("qtf")
+            * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)),
+        )
+        .withColumn("rn", F.row_number().over(wsel))
+        .filter(F.col("rn") <= max_terms)
+        .select("src_docid", "term")
+    )
+    # source doc_int rides along for self-exclusion (join by docid is
+    # the same key distribution the docid_map is already stored under)
+    queries = queries.join(
+        index["docid_map"].select(
+            F.col("docid").alias("src_docid"),
+            F.col("doc_int").alias("src_doc_int"),
+        ),
+        "src_docid",
+    )
+
+    # decode pruned by SEMI-JOIN (term set is data, not driver state)
+    sel_terms = queries.select("term").distinct()
+    decoded = exclude_tombstones(
+        index,
+        decode_postings_df(index["postings"].join(sel_terms, "term", "semi")),
+    )
+
+    doc_stats = index["doc_stats"].select("doc_int", "doc_len")
+    tf_eff = F.lit(1.0) if tf_mode == "compat" else F.col("tf").cast("double")
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cand = (
+        decoded.join(queries, "term")
+        .filter(F.col("doc_int") != F.col("src_doc_int"))
+        .repartition(npart, "src_docid")
+        .join(doc_stats, "doc_int", "left")
+        .withColumn(
+            "dl",
+            F.coalesce(F.col("doc_len"), F.floor(F.lit(avg_dl))).cast(
+                "double"
+            ),
+        )
+        .withColumn(
+            "term_score",
+            bm25_score(
+                tf_eff, F.col("df"), F.col("dl"),
+                F.lit(float(n_docs)), F.lit(avg_dl), k1, b,
+            ),
+        )
+    )
+    per_pair = cand.groupBy("src_docid", "doc_int").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list("term_score")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score")
+    )
+    wtop = Window.partitionBy("src_docid").orderBy(
+        F.desc("score"), F.asc("doc_int")
+    )
+    topk = (
+        per_pair.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= top_k)
+    )
+    return (
+        topk.join(index["docid_map"], "doc_int")
+        .select(
+            "src_docid", F.col("rank").cast("int").alias("rank"),
+            "docid", "score",
+        )
+        .orderBy("src_docid", "rank")
     )

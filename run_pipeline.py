@@ -803,6 +803,29 @@ def cmd_mlt(args) -> None:
         F.col(args.text_col).alias("content"),
     )
     t0 = time.time()
+    if args.all:
+        from large_scale_hypertextual_search_engine_spark.operators.mlt import (
+            related_docs,
+        )
+
+        res = related_docs(
+            idx, docs, top_k=args.top_k, max_terms=args.max_terms,
+            min_df=args.min_df, max_df=args.max_df, tf_mode=args.tf_mode,
+        )
+        if args.out:
+            res.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({
+                "out": args.out, "rows": res.count(),
+                "wall_sec": round(time.time() - t0, 3),
+            }))
+        else:
+            for r in res.limit(25).collect():
+                print(f"{r['src_docid']}  ->  {r['rank']:2d}  "
+                      f"{r['score']:12.6f}  {r['docid']}")
+            print(json.dumps({"wall_sec": round(time.time() - t0, 3)}))
+        return
+    if not args.docid:
+        raise SystemExit("mlt: --docid is required (or pass --all)")
     terms = mlt_terms(
         idx, docs, args.docid, max_terms=args.max_terms, min_df=args.min_df
     )
@@ -1148,7 +1171,18 @@ def main() -> None:
     p.add_argument("--index", required=True)
     p.add_argument("--corpus", required=True, metavar="PARQUET",
                    help="corpus table holding the source doc's text")
-    p.add_argument("--docid", required=True)
+    p.add_argument("--docid", default=None,
+                   help="source document (omit with --all)")
+    p.add_argument("--all", action="store_true",
+                   help="batch mode: related docs for EVERY corpus doc "
+                        "in one job (operators/mlt.py related_docs)")
+    p.add_argument("--max-df", type=int, default=None,
+                   help="with --all: ignore terms in more docs than "
+                        "this (Lucene maxDocFreq; the candidate-volume "
+                        "scale knob)")
+    p.add_argument("--out", default=None, metavar="PARQUET",
+                   help="with --all: write results here instead of "
+                        "printing a sample")
     p.add_argument("--top-k", type=int, default=10)
     p.add_argument("--max-terms", type=int, default=5,
                    help="number of tf·idf query terms to select")

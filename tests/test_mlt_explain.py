@@ -153,3 +153,93 @@ def _two_common_terms(docs):
             df[t] = df.get(t, 0) + 1
     common = sorted(df, key=lambda t: (-df[t], t))
     return [common[0], common[1]]
+
+
+# -------------------------------------------------------- related_docs
+
+def test_related_docs_matches_per_doc_mlt(mlt_fixture):
+    """Batch MLT == more_like_this per source doc (same terms, same
+    scores, same ranks) for a slice of sources."""
+    from large_scale_hypertextual_search_engine_spark.operators.mlt import (
+        related_docs,
+    )
+
+    idx, docs_df, docs = mlt_fixture
+    srcs = sorted(docs)[:8]
+    sub = docs_df.filter(docs_df.docid.isin(srcs))
+    batch = related_docs(idx, sub, top_k=5, max_terms=3)
+    rows = batch.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src_docid"], []).append(
+            (r["rank"], r["docid"], round(r["score"], 9))
+        )
+    for src in srcs:
+        single = [
+            (r["rank"], r["docid"], round(r["score"], 9))
+            for r in more_like_this(
+                idx, docs_df, src, top_k=5, max_terms=3
+            ).collect()
+        ]
+        assert sorted(by_src.get(src, [])) == single, src
+
+
+def test_related_docs_excludes_self(mlt_fixture):
+    from large_scale_hypertextual_search_engine_spark.operators.mlt import (
+        related_docs,
+    )
+
+    idx, docs_df, docs = mlt_fixture
+    rows = related_docs(
+        idx, docs_df.limit(10), top_k=3, max_terms=3
+    ).collect()
+    assert rows
+    assert all(r["src_docid"] != r["docid"] for r in rows)
+    # ranks are 1..k dense per source
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src_docid"], []).append(r["rank"])
+    for src, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), src
+
+
+def test_related_docs_max_df_caps_selection(mlt_fixture):
+    """max_df (Lucene maxDocFreq) removes stopword-grade terms from
+    selection — the candidate volume knob."""
+    from large_scale_hypertextual_search_engine_spark.operators.mlt import (
+        related_docs,
+    )
+
+    idx, docs_df, docs = mlt_fixture
+    n = len(docs)
+    df = {}
+    for toks in docs.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    cap = sorted(df.values())[len(df) // 2]  # median df
+    src = sorted(docs)[0]
+    rows = related_docs(
+        idx, docs_df.filter(docs_df.docid == src),
+        top_k=5, max_terms=3, max_df=cap,
+    ).collect()
+    # recompute the capped selection brute-force and verify via the
+    # uncapped single-doc path over the same terms
+    import math
+
+    cands = [
+        (t, docs[src].count(t) * math.log((n + 1.0) / (df[t] + 1.0)))
+        for t in dict.fromkeys(docs[src])
+        if 2 <= df.get(t, 0) <= cap
+    ]
+    cands.sort(key=lambda x: (-x[1], x[0]))
+    terms = [t for t, _ in cands[:3]]
+    expected = [
+        (r["rank"], r["docid"], round(r["score"], 9))
+        for r in more_like_this(
+            idx, docs_df, src, top_k=5, terms=terms
+        ).collect()
+    ]
+    got = sorted(
+        (r["rank"], r["docid"], round(r["score"], 9)) for r in rows
+    )
+    assert got == sorted(expected)

@@ -342,3 +342,26 @@ def test_explain_prunes_to_topk_before_output(spark, small_index):
     assert "TakeOrderedAndProject" in plan, plan
     assert "REPARTITION_BY_NUM" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_related_docs_no_funnel_semi_join_prune(spark, small_index):
+    """related_docs (batch MLT): every Window partitions by a data key
+    (src_docid — no one-task funnel), the postings decode is pruned by
+    a semi-join on the selected-term frame (no driver isin list), and
+    one explicit src repartition feeds the scoring agg + rank window."""
+    from large_scale_hypertextual_search_engine_spark.operators.mlt import (
+        related_docs,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("cast(doc_id as string) as docid", "text as content")
+        .limit(50)
+    )
+    plan = _plan(related_docs(small_index, docs, top_k=3, max_terms=3))
+    win_lines = [l for l in plan.splitlines() if "Window" in l]
+    assert win_lines
+    for l in win_lines:
+        assert "src_docid" in l, l  # every window is source-partitioned
+    assert "LeftSemi" in plan, plan
+    assert plan.count("REPARTITION_BY_NUM") == 1, plan
