@@ -131,6 +131,22 @@ def q_ft_bm25_or(spark, sf_dir):
     return _bm25(spark, sf_dir, ["merge", "window"], "or", "true")
 
 
+def q_ft_msm(spark, sf_dir):
+    """OR retrieval with Lucene minimumNumberShouldMatch=2 over three
+    terms: docs matching >= 2 distinct query terms — one codegen filter
+    on the n_matched count the per-doc aggregation already produces."""
+    from large_scale_hypertextual_search_engine_spark.operators.query import search
+
+    res = search(
+        _index(spark, sf_dir), ["merge", "window", "spark"], top_k=10,
+        mode="or", tf_mode="true", min_should_match=2,
+    )
+    return res.select(
+        "docid", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_ft_bm25_wand(spark, sf_dir):
     """Block-Max WAND, sharded serving path — rank-identical to exact OR
     top-k by construction, so it shares the ft_bm25_or oracle SQL."""
@@ -836,6 +852,74 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_decontam_report(spark, sf_dir):
+    """Benchmark decontamination (Brown et al. 2020 App. C shape):
+    8-gram overlap of every corpus doc against a deterministic
+    'benchmark' slice (doc_id % 37 == 0). Corpus grams are pure-codegen
+    expressions hashed to int64 before a broadcast join against the
+    benchmark gram set; output volume = contaminated docs only."""
+    from large_scale_hypertextual_search_engine_spark.operators.decontam import (
+        contamination_report,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return contamination_report(docs, bench, n=8).orderBy("doc_id")
+
+
+def q_select_budget(spark, sf_dir):
+    """Token-budget corpus selection: the greedy best-quality prefix
+    (distinct_ratio DESC, doc_id ASC) whose cumulative whitespace-token
+    count fits 10,000 tokens — computed as a distributed prefix-sum
+    (range partition + per-partition offsets), never a single global
+    ORDER BY window."""
+    from large_scale_hypertextual_search_engine_spark.operators.selection import (
+        select_by_token_budget,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.textstats import (
+        quality_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    scored = quality_features(docs, "text", QUALITY_STOPWORDS).select(
+        "doc_id", "n_tokens", "distinct_ratio"
+    )
+    sel = select_by_token_budget(
+        scored, budget=10_000, score_col="distinct_ratio",
+        token_col="n_tokens", id_col="doc_id",
+    )
+    return sel.select(
+        "doc_id", "n_tokens", "cum_tokens",
+        F.round("distinct_ratio", 6).alias("score"),
+    ).orderBy("doc_id")
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language Bernoulli sample (md5-prefix
+    threshold): en 1.0, de 0.5, fr 0.25, zh 0.1, everything else (es)
+    at the 0.05 default — the reproducible training-mixture primitive;
+    the same rows survive on every run and in the DuckDB oracle."""
+    from large_scale_hypertextual_search_engine_spark.operators.selection import (
+        sample_stratified,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    return (
+        sample_stratified(
+            docs, {"en": 1.0, "de": 0.5, "fr": 0.25, "zh": 0.1},
+            group_col="lang", id_col="doc_id", default_rate=0.05,
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def q_token_counts(spark, sf_dir):
     """Whitespace + BPE-ish pretokenizer token counts per doc — the
     training-data budgeting primitives, both pure codegen expressions."""
@@ -1303,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_rm3": q_ft_rm3,
         "ft_bm25_and_compat": q_ft_bm25_and_compat,
         "ft_bm25_or": q_ft_bm25_or,
+        "ft_msm": q_ft_msm,
         "ft_bm25_wand": q_ft_bm25_wand,
         "ft_phrase": q_ft_phrase,
         "ft_phrase_wand": q_ft_phrase_wand,
@@ -1326,6 +1411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
+        "decontam_report": q_decontam_report,
+        "select_budget": q_select_budget,
+        "sample_stratified": q_sample_stratified,
         "lang_id": q_lang_id,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -1364,13 +1452,14 @@ stats AS (
 )"""
 
 
-def _bm25_true_sql(terms: list[str], mode: str) -> str:
+def _bm25_true_sql(terms: list[str], mode: str, msm: int | None = None) -> str:
     inlist = ", ".join(f"'{t}'" for t in terms)
-    having = (
-        f"HAVING COUNT(DISTINCT term) = (SELECT COUNT(*) FROM dfs)"
-        if mode == "and"
-        else ""
-    )
+    if mode == "and":
+        having = "HAVING COUNT(DISTINCT term) = (SELECT COUNT(*) FROM dfs)"
+    elif msm and msm > 1:
+        having = f"HAVING COUNT(DISTINCT term) >= {int(msm)}"
+    else:
+        having = ""
     return f"""
 WITH {_TOKS},{_DL_STATS},
 tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks
@@ -1878,6 +1967,7 @@ SELECT term, CAST(dist AS INT) AS dist, tf
 FROM c WHERE dist <= 2
 ORDER BY dist ASC, tf DESC, term ASC LIMIT 5""",
         "ft_bm25_or": _bm25_true_sql(["merge", "window"], "or"),
+        "ft_msm": _bm25_true_sql(["merge", "window", "spark"], "or", msm=2),
         # WAND is exact top-k: the oracle is the same SQL as ft_bm25_or
         "ft_bm25_wand": _bm25_true_sql(["merge", "window"], "or"),
         "ft_phrase": _phrase_true_sql(["fast", "key"]),
@@ -2498,6 +2588,66 @@ cand AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS hamming
 FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3""",
+        "decontam_report": """
+WITH corpus AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(toks) - 7),
+                                      i -> array_to_string(toks[i:i+7], ' '))) AS gs
+  FROM corpus WHERE len(toks) >= 8
+),
+bg AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 37 = 0),
+cg AS (SELECT doc_id, len(gs) AS total, unnest(gs) AS g FROM grams),
+ov AS (
+  SELECT doc_id,
+         COUNT(*) AS overlap_grams,
+         CAST(ANY_VALUE(total) AS BIGINT) AS total_grams
+  FROM cg JOIN bg USING (g)
+  GROUP BY doc_id
+)
+SELECT doc_id, overlap_grams, total_grams,
+       round(overlap_grams * 1.0 / total_grams, 6) AS overlap_frac
+FROM ov
+WHERE overlap_grams >= 1
+ORDER BY doc_id""",
+        "select_budget": """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN len(list_distinct(toks)) * 1.0 / len(toks)
+              ELSE 0.0 END AS score
+  FROM base
+),
+c AS (
+  SELECT doc_id, n_tokens, score,
+         SUM(n_tokens) OVER (ORDER BY score DESC, doc_id ASC) AS cum
+  FROM q
+)
+SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+       round(score, 6) AS score
+FROM c WHERE cum <= 10000
+ORDER BY doc_id""",
+        "sample_stratified": """
+WITH thr AS (
+  SELECT * FROM (VALUES
+    ('en', '100000000'), ('de', '080000000'),
+    ('fr', '040000000'), ('zh', '019999999')
+  ) AS t(lang, thr)
+)
+SELECT doc_id, lang
+FROM documents LEFT JOIN thr USING (lang)
+WHERE '0' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      < COALESCE(thr, '00ccccccc')
+ORDER BY doc_id""",
         "token_counts": r"""
 SELECT doc_id,
   CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)

@@ -259,6 +259,39 @@ def main() -> None:
     extra["related_500src_s"] = round(time.time() - t0, 3)
     extra["related_rows"] = int(n_rel)
 
+    # --- round-5: training-pipeline hygiene ops over the documents
+    # table: 8-gram benchmark decontamination (broadcast gram set) and
+    # token-budget selection (distributed prefix-sum, no global window).
+    from large_scale_hypertextual_search_engine_spark.operators.decontam import (
+        contamination_report,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.selection import (
+        select_by_token_budget,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.textstats import (
+        quality_features,
+    )
+
+    docs_full = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench_slice = docs_full.filter(F.col("doc_id") % 37 == 0)
+    t0 = time.time()
+    n_cont = contamination_report(docs_full, bench_slice, n=8).count()
+    extra["decontam_s"] = round(time.time() - t0, 3)
+    extra["decontam_docs"] = int(n_cont)
+
+    scored_docs = quality_features(docs_full, "text").select(
+        "doc_id", "n_tokens", "distinct_ratio"
+    )
+    t0 = time.time()
+    n_sel = select_by_token_budget(
+        scored_docs, budget=500_000, score_col="distinct_ratio",
+        token_col="n_tokens", id_col="doc_id",
+    ).count()
+    extra["select_budget_s"] = round(time.time() - t0, 3)
+    extra["select_budget_docs"] = int(n_sel)
+
     # --- round-5: two-phase positional retrieval on a hot-term phrase.
     # phrase_exact decodes the FULL posting lists of both terms; the
     # WAND path decodes only blocks that survive AND alignment +

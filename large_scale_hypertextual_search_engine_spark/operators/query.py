@@ -264,9 +264,19 @@ def match_docs(
     k1: float = K1,
     b: float = B,
     doc_filter: DataFrame | None = None,
+    min_should_match: int = 1,
 ) -> DataFrame:
     """Scored FULL match set of one query -> (doc_int, score) with NO
     rank window and NO query_id funnel.
+
+    ``min_should_match`` (Lucene BooleanQuery
+    ``setMinimumNumberShouldMatch``): in OR mode, keep only docs
+    matching at least that many DISTINCT query terms — the standard
+    precision dial between pure OR (1) and full AND (len(terms)).
+    It rides the ``n_matched`` count the aggregation already produces,
+    so the plan gains one codegen filter and nothing else; a value
+    larger than the number of index-present terms yields no hits
+    (an OOV term can never count toward the minimum, as in Lucene).
 
     ``search`` exists to answer top-k: it repartitions candidates by
     query_id so the per-doc aggregation and the rank window share one
@@ -326,6 +336,10 @@ def match_docs(
         per_doc = per_doc.join(F.broadcast(n_found)).filter(
             F.col("n_matched") == F.col("n_found")
         )
+    elif min_should_match > 1:
+        per_doc = per_doc.filter(
+            F.col("n_matched") >= F.lit(int(min_should_match))
+        )
     return per_doc.select("doc_int", "score")
 
 
@@ -338,9 +352,11 @@ def search(
     k1: float = K1,
     b: float = B,
     doc_filter: DataFrame | None = None,
+    min_should_match: int = 1,
 ) -> DataFrame:
     """Single query -> (rank, doc_int, docid, score). ``doc_filter``:
-    see search_batch.
+    see search_batch; ``min_should_match``: see match_docs (OR mode
+    only — the Lucene minimumNumberShouldMatch precision dial).
 
     Plan: ``match_docs`` (fully distributed candidate aggregation — no
     query_id funnel) + a distributed ``orderBy().limit(k)`` that
@@ -353,7 +369,9 @@ def search(
     scores are the same sorted FP fold (bit-equal, pytest) and the
     (score desc, doc_int asc) tiebreak is unchanged.
     """
-    per_doc = match_docs(index, terms, mode, tf_mode, k1, b, doc_filter)
+    per_doc = match_docs(
+        index, terms, mode, tf_mode, k1, b, doc_filter, min_should_match
+    )
     w = Window.orderBy(F.desc("score"), F.asc("doc_int"))
     topk = (
         per_doc.orderBy(F.desc("score"), F.asc("doc_int"))
@@ -392,6 +410,7 @@ def search_text(
     stem: bool = True,
     expander: SemanticExpander | None = None,
     doc_filter: DataFrame | None = None,
+    min_should_match: int = 1,
 ) -> DataFrame:
     """Analyze a raw query string with the same analyzer as indexing
     (the reference's query tokenizer skips stemming and never matches a
@@ -406,4 +425,7 @@ def search_text(
         terms = [t.term for t in tokenize_compat(query, stem=stem)]
     if expander is not None:
         terms = expander.expand_query(terms, 2)
-    return search(index, terms, top_k, mode, tf_mode, doc_filter=doc_filter)
+    return search(
+        index, terms, top_k, mode, tf_mode, doc_filter=doc_filter,
+        min_should_match=min_should_match,
+    )

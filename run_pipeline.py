@@ -377,6 +377,7 @@ def cmd_search(args) -> None:
                 idx, args.query, top_k=args.top_k, mode=args.mode,
                 tf_mode=args.tf_mode, analyzer_mode=args.analyzer,
                 stem=args.stem, doc_filter=doc_filter,
+                min_should_match=args.min_should_match,
             )
     if args.snippets_from:
         from large_scale_hypertextual_search_engine_spark.operators.snippet import (
@@ -622,6 +623,76 @@ def cmd_dedup(args) -> None:
             print(dict(r.asDict()))
         n = out.count()
     print(json.dumps({"method": args.method, "pairs": n, "out": args.out}))
+    spark.stop()
+
+
+def cmd_decontam(args) -> None:
+    """Benchmark decontamination: flag (or drop) corpus docs sharing
+    >= --min-overlap normalized n-grams with the benchmark set."""
+    from large_scale_hypertextual_search_engine_spark.operators.decontam import (
+        contamination_report, decontaminate,
+    )
+
+    from pyspark.sql import functions as F
+
+    spark = _spark("lshse-decontam")
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark)
+    kw = dict(
+        n=args.ngram, min_overlap=args.min_overlap,
+        text_col=args.text_col, id_col=args.id_col,
+        benchmark_text_col=args.benchmark_text_col,
+    )
+    if args.drop:
+        out = decontaminate(docs, bench, **kw)
+        label = "clean_docs"
+    else:
+        out = contamination_report(docs, bench, **kw).orderBy(
+            F.desc("overlap_grams")
+        )
+        label = "contaminated_docs"
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+    else:
+        for r in out.limit(20).collect():
+            print(dict(r.asDict()))
+        n = out.count()
+    print(json.dumps({label: n, "ngram": args.ngram, "out": args.out}))
+    spark.stop()
+
+
+def cmd_select(args) -> None:
+    """Corpus selection: token-budget best-score prefix and/or
+    deterministic stratified sampling over a scored corpus."""
+    from large_scale_hypertextual_search_engine_spark.operators.selection import (
+        sample_stratified, select_by_token_budget,
+    )
+
+    spark = _spark("lshse-select")
+    df = spark.read.parquet(args.input)
+    if args.rates:
+        rates = {
+            g: float(r)
+            for g, r in (kv.split("=") for kv in args.rates.split(","))
+        }
+        df = sample_stratified(
+            df, rates, group_col=args.group_col, id_col=args.id_col,
+            default_rate=args.default_rate,
+        )
+    if args.budget is not None:
+        df = select_by_token_budget(
+            df, args.budget, score_col=args.score_col,
+            token_col=args.token_col, id_col=args.id_col,
+        )
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+    else:
+        for r in df.limit(20).collect():
+            print(dict(r.asDict()))
+        n = df.count()
+    print(json.dumps({"selected": n, "out": args.out}))
     spark.stop()
 
 
@@ -1040,6 +1111,11 @@ def main() -> None:
     p.add_argument("--query", required=True)
     p.add_argument("--top-k", type=int, default=10)
     p.add_argument("--mode", default="and", choices=["and", "or"])
+    p.add_argument(
+        "--min-should-match", type=int, default=1, metavar="M",
+        help="OR mode: require >= M distinct query terms per doc "
+             "(Lucene minimumNumberShouldMatch)",
+    )
     p.add_argument("--tf-mode", default="true", choices=["true", "compat"])
     p.add_argument("--analyzer", default="compat", choices=["compat", "simple"])
     p.add_argument("--stem", action=argparse.BooleanOptionalAction, default=True)
@@ -1240,6 +1316,41 @@ def main() -> None:
         help="minhash: pair from an existing signature table (skip shingling)",
     )
     p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser(
+        "decontam",
+        help="n-gram benchmark decontamination over a parquet corpus",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--benchmark", required=True, metavar="PARQUET",
+                   help="eval/benchmark docs to decontaminate against")
+    p.add_argument("--ngram", type=int, default=13,
+                   help="gram length (Brown et al. 2020 use 13)")
+    p.add_argument("--min-overlap", type=int, default=1)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--benchmark-text-col", default=None)
+    p.add_argument("--drop", action="store_true",
+                   help="write the CLEANED corpus instead of the report")
+    p.add_argument("--out", default=None, help="parquet output (default: print)")
+    p.set_defaults(fn=cmd_decontam)
+
+    p = sub.add_parser(
+        "select",
+        help="token-budget / stratified corpus selection",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--budget", type=int, default=None,
+                   help="token budget: keep the best-score prefix")
+    p.add_argument("--score-col", default="score")
+    p.add_argument("--token-col", default="n_tokens")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--rates", default=None, metavar="G=R,G=R",
+                   help="stratified sampling rates per group, e.g. en=1.0,de=0.5")
+    p.add_argument("--group-col", default="lang")
+    p.add_argument("--default-rate", type=float, default=0.0)
+    p.add_argument("--out", default=None, help="parquet output (default: print)")
+    p.set_defaults(fn=cmd_select)
 
     p = sub.add_parser("stats", help="index size / stage wall / memory report")
     p.add_argument("--index", required=True)

@@ -280,3 +280,61 @@ def test_match_docs_missing_term_and_filter(spark, indexes):
         for r in match_docs(idx, ["spark", "join"], doc_filter=keep).collect()
     }
     assert filtered == set(sorted(base)[:3])
+
+
+@pytest.mark.parametrize("msm", [1, 2, 3, 4])
+def test_min_should_match_bruteforce(spark, indexes, msm):
+    """OR + min_should_match=m keeps exactly the docs matching >= m
+    distinct query terms, scored identically to plain OR (Lucene
+    minimumNumberShouldMatch semantics)."""
+    idx, oracle = indexes
+    terms = ["merge", "window", "spark"]
+    got = {
+        r["docid"]: (r["rank"], r["score"])
+        for r in search(
+            idx, terms, top_k=2**31 - 1, mode="or", min_should_match=msm
+        ).collect()
+    }
+    # brute force from the python oracle's postings
+    found = [t for t in terms if t in oracle.postings]
+    cands = {
+        d
+        for d in set().union(*(set(oracle.postings[t]) for t in found))
+        if sum(d in oracle.postings[t] for t in found) >= msm
+    }
+    full = dict(oracle.search(terms, top_k=2**31 - 1, mode="or"))
+    expect_docs = {d for d in full if d in cands}
+    assert set(got) == expect_docs
+    for d, (rank, score) in got.items():
+        assert score == pytest.approx(full[d], abs=1e-9)
+    # m = len(terms) degenerates to AND membership
+    if msm == 3:
+        and_docs = {r["docid"] for r in search(idx, terms, top_k=2**31 - 1, mode="and").collect()}
+        assert set(got) == and_docs
+    if msm == 4:
+        assert got == {}
+
+
+def test_min_should_match_one_is_plain_or(spark, indexes):
+    idx, _ = indexes
+    terms = ["merge", "window"]
+    a = search(idx, terms, top_k=50, mode="or").collect()
+    b = search(idx, terms, top_k=50, mode="or", min_should_match=1).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_min_should_match_oov_terms_never_count(spark, indexes):
+    """An out-of-vocabulary term cannot satisfy the minimum: requiring
+    2-of-(real, oov) yields nothing; 1-of matches the real term's OR."""
+    idx, _ = indexes
+    assert (
+        search(idx, ["merge", "zzzznope"], top_k=10, mode="or",
+               min_should_match=2).count() == 0
+    )
+    a = {r["docid"] for r in search(idx, ["merge"], top_k=10, mode="or").collect()}
+    b = {
+        r["docid"]
+        for r in search(idx, ["merge", "zzzznope"], top_k=10, mode="or",
+                        min_should_match=1).collect()
+    }
+    assert a == b
