@@ -147,6 +147,41 @@ def q_ft_msm(spark, sf_dir):
     )
 
 
+_TIERS_CACHE: dict = {}
+
+
+def q_ft_tiered(spark, sf_dir):
+    """Tiered retrieval (doc-quality tiers + MaxScore certificate):
+    the corpus splits into a 20% high-prior tier (prior = n_chars) and
+    the rest; the query runs on tier 1 under GLOBAL stats and consults
+    tier 2 only when the metadata bound beats the k-th score. Either
+    branch is bit-identical to the flat index, so the oracle is the
+    plain BM25 SQL over all documents."""
+    from large_scale_hypertextual_search_engine_spark.operators.tiered import (
+        build_tiered, tiered_search,
+    )
+
+    tiers = _TIERS_CACHE.get(sf_dir)
+    if tiers is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("docid"),
+            F.col("text").alias("content"),
+            F.col("n_chars").cast("double").alias("prior"),
+        )
+        tiers = build_tiered(
+            docs, "prior", frac=0.2, mode="simple", stem=False,
+            salt_buckets=2,
+        )
+        _TIERS_CACHE[sf_dir] = tiers
+    res, _info = tiered_search(
+        tiers, ["merge", "window"], top_k=10, mode="or", tf_mode="true"
+    )
+    return res.select(
+        "docid", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_ft_bm25_wand(spark, sf_dir):
     """Block-Max WAND, sharded serving path — rank-identical to exact OR
     top-k by construction, so it shares the ft_bm25_or oracle SQL."""
@@ -1388,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_and_compat": q_ft_bm25_and_compat,
         "ft_bm25_or": q_ft_bm25_or,
         "ft_msm": q_ft_msm,
+        "ft_tiered": q_ft_tiered,
         "ft_bm25_wand": q_ft_bm25_wand,
         "ft_phrase": q_ft_phrase,
         "ft_phrase_wand": q_ft_phrase_wand,
@@ -1968,6 +2004,7 @@ FROM c WHERE dist <= 2
 ORDER BY dist ASC, tf DESC, term ASC LIMIT 5""",
         "ft_bm25_or": _bm25_true_sql(["merge", "window"], "or"),
         "ft_msm": _bm25_true_sql(["merge", "window", "spark"], "or", msm=2),
+        "ft_tiered": _bm25_true_sql(["merge", "window"], "or"),
         # WAND is exact top-k: the oracle is the same SQL as ft_bm25_or
         "ft_bm25_wand": _bm25_true_sql(["merge", "window"], "or"),
         "ft_phrase": _phrase_true_sql(["fast", "key"]),
@@ -2059,10 +2096,18 @@ tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks
         WHERE term IN (SELECT DISTINCT term FROM sel) GROUP BY docid, term),
 dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
 scored AS (
+  -- deterministic ascending-sorted left fold (list_reduce over
+  -- list_sort): the exact mirror of the engine's
+  -- aggregate(sort_array(collect_list(term_score))) discipline.
+  -- A plain SUM is parallel-order-nondeterministic in DuckDB, and a
+  -- last-ulp wobble between runs can swap near-tied ranks (observed
+  -- once at sf0.001 under a contended host).
   SELECT q.src_docid, t.docid,
-         SUM( ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+         list_reduce(list_sort(list(
+             ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
             * (((1.5 + 1.0) * t.tf) /
-               (1.5 * (1.0 - 0.75 + 0.75 * (l.doc_len / s.avg_dl)) + t.tf)) ) AS score
+               (1.5 * (1.0 - 0.75 + 0.75 * (l.doc_len / s.avg_dl)) + t.tf))
+         )), (a, b) -> a + b) AS score
   FROM sel q
   JOIN tfs t USING (term)
   JOIN dfs f USING (term)

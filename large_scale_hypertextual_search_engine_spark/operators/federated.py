@@ -39,11 +39,26 @@ def search_federated(
     tf_mode: str = "true",
     k1: float = K1,
     b: float = B,
+    stat_indexes: list[dict[str, DataFrame]] | None = None,
 ) -> DataFrame:
     """-> (rank, doc_int, docid, score) over the union of ``indexes``
-    (disjoint corpora), identical to querying their physical merge."""
+    (disjoint corpora), identical to querying their physical merge.
+
+    ``stat_indexes`` (default: ``indexes``): the segment list that
+    defines COLLECTION STATISTICS — n_docs, avg_dl, per-term global df
+    and the doc_int offset space. ``indexes`` must be a positional
+    prefix of it. Tiered retrieval (operators/tiered.py) passes all
+    tiers here while decoding only the top tier(s): candidates come
+    from the decoded prefix, but every score is computed under the
+    FULL collection's statistics, so surviving docs score bit-identical
+    to a query over the physical merge of all tiers — only the
+    stats/lexicon metadata of the undecoded tiers is ever read."""
     if not indexes:
         raise ValueError("indexes must be non-empty")
+    if stat_indexes is None:
+        stat_indexes = indexes
+    if len(stat_indexes) < len(indexes):
+        raise ValueError("indexes must be a prefix of stat_indexes")
     from .query import decode_postings_df, exclude_tombstones, prune_buckets
 
     uniq = list(dict.fromkeys(t.lower() for t in terms))
@@ -55,7 +70,7 @@ def search_federated(
     # would diverge from the merged index's sum/count in the last ulp
     offsets, n_docs, dl_sum = [], 0, 0
     off = 0
-    for idx in indexes:
+    for idx in stat_indexes:
         offsets.append(off)
         row = idx["docid_map"].agg(
             F.max("doc_int").alias("mx"), F.count("*").alias("n")
@@ -81,7 +96,7 @@ def search_federated(
             prune_buckets(idx, uniq)
             .filter(F.col("term").isin(uniq))
             .select("term", "df")
-            for idx in indexes
+            for idx in stat_indexes
         ],
     ).groupBy("term").agg(F.sum("df").alias("df"))
 

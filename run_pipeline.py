@@ -368,10 +368,21 @@ def cmd_search(args) -> None:
                     t.term for t in tokenize_compat(args.query, stem=args.stem)
                 ]
             segs = [idx] + [load_index(spark, d) for d in args.also_index]
-            res = search_federated(
-                segs, terms, top_k=args.top_k, mode=args.mode,
-                tf_mode=args.tf_mode,
-            )
+            if args.tiered:
+                from large_scale_hypertextual_search_engine_spark.operators.tiered import (
+                    tiered_search,
+                )
+
+                res, tinfo = tiered_search(
+                    segs, terms, top_k=args.top_k, mode=args.mode,
+                    tf_mode=args.tf_mode,
+                )
+                print(json.dumps(tinfo))
+            else:
+                res = search_federated(
+                    segs, terms, top_k=args.top_k, mode=args.mode,
+                    tf_mode=args.tf_mode,
+                )
         else:
             res = search_text(
                 idx, args.query, top_k=args.top_k, mode=args.mode,
@@ -693,6 +704,47 @@ def cmd_select(args) -> None:
             print(dict(r.asDict()))
         n = df.count()
     print(json.dumps({"selected": n, "out": args.out}))
+    spark.stop()
+
+
+def cmd_tier(args) -> None:
+    """Split a corpus by a static prior into a hot tier-1 and a cold
+    tier-2 and build+save an index per tier (operators/tiered.py).
+    Query them with: search --index <out1> --also-index <out2> --tiered."""
+    import math
+
+    from large_scale_hypertextual_search_engine_spark.operators.selection import (
+        select_by_token_budget,
+    )
+    from large_scale_hypertextual_search_engine_spark.plans.lineage import (
+        build_and_save_index,
+    )
+    from pyspark.sql import functions as F
+
+    spark = _spark("lshse-tier")
+    docs = spark.read.parquet(args.input)
+    if {"doc_id", "text"} <= set(docs.columns) and "docid" not in docs.columns:
+        docs = docs.withColumn("docid", F.col("doc_id").cast("string")) \
+                   .withColumn("content", F.col("text"))
+    n = docs.count()
+    m = max(1, math.ceil(args.frac * n))
+    tier1_ids = select_by_token_budget(
+        docs.select("docid", args.prior_col).withColumn("__one", F.lit(1)),
+        m, score_col=args.prior_col, token_col="__one", id_col="docid",
+    ).select("docid")
+    t1 = docs.join(F.broadcast(tier1_ids), "docid", "semi")
+    t2 = docs.join(F.broadcast(tier1_ids), "docid", "left_anti")
+    fp = _fingerprint(args.input, f"tier:{args.frac}:{args.prior_col}")
+    if not args.resume:
+        fp = f"{fp}:{int(time.time())}"
+    build_and_save_index(t1.select("docid", "content"), args.out1, f"{fp}:1",
+                         mode=args.mode, stem=args.stem)
+    build_and_save_index(t2.select("docid", "content"), args.out2, f"{fp}:2",
+                         mode=args.mode, stem=args.stem)
+    print(json.dumps({
+        "tier1_docs": t1.count(), "tier2_docs": t2.count(),
+        "out1": args.out1, "out2": args.out2,
+    }))
     spark.stop()
 
 
@@ -1138,6 +1190,12 @@ def main() -> None:
              'parentheses, "quoted phrases" (operators/boolsearch.py)',
     )
     p.add_argument(
+        "--tiered", action="store_true",
+        help="with --also-index: treat --index as tier 1 and the rest "
+             "as lower tiers; consult lower tiers only when the "
+             "MaxScore certificate fails (operators/tiered.py)",
+    )
+    p.add_argument(
         "--serve", action="store_true",
         help="warm in-memory serving path (SearchServer)",
     )
@@ -1351,6 +1409,22 @@ def main() -> None:
     p.add_argument("--default-rate", type=float, default=0.0)
     p.add_argument("--out", default=None, help="parquet output (default: print)")
     p.set_defaults(fn=cmd_select)
+
+    p = sub.add_parser(
+        "tier",
+        help="split a corpus by a static prior and build tiered indexes",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--prior-col", required=True,
+                   help="static-prior column (pagerank, quality score)")
+    p.add_argument("--frac", type=float, default=0.1,
+                   help="fraction of docs in the hot tier")
+    p.add_argument("--out1", required=True, help="tier-1 index dir")
+    p.add_argument("--out2", required=True, help="tier-2 index dir")
+    p.add_argument("--mode", default="compat", choices=["compat", "simple"])
+    p.add_argument("--stem", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--resume", action="store_true")
+    p.set_defaults(fn=cmd_tier)
 
     p = sub.add_parser("stats", help="index size / stage wall / memory report")
     p.add_argument("--index", required=True)
