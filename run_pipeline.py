@@ -748,6 +748,31 @@ def cmd_tier(args) -> None:
     spark.stop()
 
 
+def cmd_upsert(args) -> None:
+    """Upsert a batch of documents: tombstone stale copies in every
+    existing segment, build the batch as a new delta segment, print
+    the new segment list (operators/updates.py). Serve with:
+    search --index <seg1> --also-index <seg2> [<seg3> ...]."""
+    from large_scale_hypertextual_search_engine_spark.operators.updates import (
+        upsert_docs,
+    )
+    from pyspark.sql import functions as F
+
+    spark = _spark("lshse-upsert")
+    docs = spark.read.parquet(args.input)
+    if {"doc_id", "text"} <= set(docs.columns) and "docid" not in docs.columns:
+        docs = docs.select(
+            F.col("doc_id").cast("string").alias("docid"),
+            F.col("text").alias("content"),
+        )
+    info = upsert_docs(
+        spark, args.segments, args.delta_out, docs,
+        mode=args.mode, stem=args.stem,
+    )
+    print(json.dumps(info))
+    spark.stop()
+
+
 def cmd_ann(args) -> None:
     """ANN over an embeddings table: build a bucket-partitioned index
     (--build, methods lsh|ivf) or query one (--query-id / --query-vec).
@@ -1425,6 +1450,21 @@ def main() -> None:
     p.add_argument("--stem", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--resume", action="store_true")
     p.set_defaults(fn=cmd_tier)
+
+    p = sub.add_parser(
+        "upsert",
+        help="update/insert docs: tombstone stale copies + new delta segment",
+    )
+    p.add_argument("--segments", nargs="+", required=True,
+                   help="existing segment index dirs (stale copies get "
+                        "tombstoned in each)")
+    p.add_argument("--delta-out", required=True,
+                   help="directory for the new delta segment")
+    p.add_argument("--input", required=True,
+                   help="parquet batch: (docid, content) or (doc_id, text)")
+    p.add_argument("--mode", default="compat", choices=["compat", "simple"])
+    p.add_argument("--stem", action=argparse.BooleanOptionalAction, default=True)
+    p.set_defaults(fn=cmd_upsert)
 
     p = sub.add_parser("stats", help="index size / stage wall / memory report")
     p.add_argument("--index", required=True)
