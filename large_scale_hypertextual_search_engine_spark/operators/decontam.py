@@ -14,10 +14,13 @@ Scale design (100 TB corpus, 10^4-10^6-doc benchmark):
   the corpus side never shuffles on gram strings.  When the benchmark
   is genuinely huge Catalyst/AQE falls back to a shuffled hash join —
   the plan stays correct either way.
-* Corpus grams are produced by pure JVM expressions (split → slice →
-  array_join → xxhash64 inside whole-stage codegen); gram STRINGS live
-  only transiently inside the project — the join key is the 64-bit
-  hash, 8 bytes/gram.
+* Corpus grams are produced by pure JVM expressions — xxhash64 over
+  each n-token slice of the token array; no gram string is EVER
+  materialized, the join key is a 64-bit hash, 8 bytes/gram. The token
+  split is projected through its own select so the higher-order gram
+  lambda (interpreted, not codegen) sees a bound column instead of an
+  inlined split expression — the inlined form re-evaluates the split
+  once per gram and measured 10x slower at sf0.1 (8.9 s vs 0.9 s).
 * The only wide operation is the per-doc groupBy over MATCHED rows —
   volume proportional to contamination, not to the corpus.
 * ``benchmark_grams`` is exposed separately so a pipeline can compute
@@ -43,6 +46,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = [
     "normalized_tokens",
     "ngrams_col",
+    "ngram_hashes_col",
     "benchmark_grams",
     "contamination_report",
     "decontaminate",
@@ -63,6 +67,9 @@ def ngrams_col(text: Column, n: int) -> Column:
     inside whole-stage codegen.  Docs shorter than ``n`` tokens have no
     gram (empty array; the ``when`` guard also keeps ``sequence`` from
     running backwards on a negative span).
+
+    This is the human-readable form (debugging, audits). The pipeline
+    itself runs on :func:`ngram_hashes_col` — same grams, no strings.
     """
     toks = normalized_tokens(text)
     grams = F.transform(
@@ -74,17 +81,54 @@ def ngrams_col(text: Column, n: int) -> Column:
     )
 
 
+def ngram_hashes_col(toks: Column, n: int) -> Column:
+    """DISTINCT n-gram HASHES of a TOKEN-ARRAY column as array<long> —
+    xxhash64 applied directly to each n-token slice (Spark hashes
+    arrays order-sensitively), so no gram string is ever materialized.
+
+    Takes the token array, NOT the raw text: higher-order-function
+    lambdas are interpreted (no whole-stage codegen), and an inlined
+    split-expression re-evaluates once PER GRAM — measured 10x slower
+    at sf0.1 (8.9 s vs 0.9 s). Project ``normalized_tokens`` through
+    its own select first (an alias referenced more than once is not
+    collapsed into the lambda), as :func:`_gram_frame` does."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.xxhash64(F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def _gram_frame(
+    df: DataFrame, text_col: str, id_cols: list[str], n: int
+) -> DataFrame:
+    """(id_cols..., grams: array<long>) with the token split evaluated
+    exactly once per row (see ngram_hashes_col). Rows with fewer than
+    ``n`` tokens are dropped HERE, on the cheap size(__toks) predicate
+    — consumers must explode with ``explode_outer``: a plain explode's
+    inferred not-empty filter is pushed below the projections with the
+    whole gram expression inlined, re-running the split once per gram
+    (measured: the entire 10x win given back)."""
+    toksed = df.select(
+        *id_cols, normalized_tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size(F.col("__toks")) >= n)
+    return toksed.select(
+        *id_cols, ngram_hashes_col(F.col("__toks"), n).alias("grams")
+    )
+
+
 def benchmark_grams(
     benchmark: DataFrame, n: int = 13, text_col: str = "text"
 ) -> DataFrame:
     """The benchmark's distinct gram-hash set: one column ``gram_hash``
-    (xxhash64 of the normalized gram string).  Compute once, persist,
-    reuse across corpus shards."""
+    (xxhash64 over the normalized n-token slice).  Compute once,
+    persist, reuse across corpus shards."""
     return (
-        benchmark.select(
-            F.explode(ngrams_col(F.col(text_col), n)).alias("gram")
-        )
-        .select(F.xxhash64("gram").alias("gram_hash"))
+        _gram_frame(benchmark, text_col, [], n)
+        .select(F.explode_outer("grams").alias("gram_hash"))
+        .filter(F.col("gram_hash").isNotNull())
         .distinct()
     )
 
@@ -110,16 +154,12 @@ def contamination_report(
     bench = benchmark_grams(
         benchmark, n, benchmark_text_col or text_col
     )
-    grams = docs.select(
-        F.col(id_col), ngrams_col(F.col(text_col), n).alias("grams")
-    )
+    grams = _gram_frame(docs, text_col, [id_col], n)
     exploded = grams.select(
         id_col,
         F.size("grams").cast("long").alias("total_grams"),
-        F.explode("grams").alias("gram"),
-    ).select(
-        id_col, "total_grams", F.xxhash64("gram").alias("gram_hash")
-    )
+        F.explode_outer("grams").alias("gram_hash"),
+    ).filter(F.col("gram_hash").isNotNull())
     matched = exploded.join(F.broadcast(bench), "gram_hash")
     return (
         matched.groupBy(id_col)

@@ -124,3 +124,27 @@ def test_plan_broadcasts_benchmark_and_prunes_columns(spark, corpus):
     # the corpus side must not shuffle gram strings: the only hash
     # exchanges are the benchmark distinct and the per-doc agg
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_hashed_grams_equal_string_grams(spark, corpus):
+    """The pipeline's xxhash64-over-slice gram hashing must produce the
+    same per-doc distinct-gram counts as the human-readable string
+    form (collision-free on this corpus by construction)."""
+    from pyspark.sql import functions as F
+    from large_scale_hypertextual_search_engine_spark.operators.decontam import (
+        _gram_frame,
+    )
+
+    strings = {
+        r["doc_id"]: r["s"]
+        for r in corpus.select(
+            "doc_id", F.size(ngrams_col(F.col("text"), 8)).alias("s")
+        ).collect()
+    }
+    hashed = {
+        r["doc_id"]: r["h"]
+        for r in _gram_frame(corpus, "text", ["doc_id"], 8)
+        .select("doc_id", F.size("grams").alias("h"))
+        .collect()
+    }
+    assert strings == hashed
