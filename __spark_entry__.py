@@ -887,6 +887,43 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+_PQ_CACHE: dict = {}
+
+
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): vectors stored as
+    m=8 one-byte codes (32x compression), scored via ADC lookup-table
+    gather, ADC top-100 exactly re-ranked against the float vectors.
+    Approximate by contract — no SQL oracle; recall vs the exact scan
+    and the ADC==reconstruction identity are pytest-asserted
+    (tests/test_pq.py), and this entry's rows-only check pins the
+    deterministic (seeded) end-to-end path."""
+    from large_scale_hypertextual_search_engine_spark.operators.pq import (
+        pq_encode, pq_search, pq_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cached = _PQ_CACHE.get(sf_dir)
+    if cached is None:
+        cb = pq_train(emb, m=8, k=256, sample=5000, seed=7)
+        codes = pq_encode(emb, cb)
+        cached = _PQ_CACHE[sf_dir] = (cb, codes)
+    cb, codes = cached
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    res = pq_search(
+        codes, cb, qvec, top_k=10, refine_with=emb, refine=100
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    return res.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("vec_id", "rank", F.round("score", 6).alias("score"))
+
+
 def q_decontam_report(spark, sf_dir):
     """Benchmark decontamination (Brown et al. 2020 App. C shape):
     8-gram overlap of every corpus doc against a deterministic
@@ -1466,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_pq": q_ann_pq,
         "ann_ivf_stored": q_ann_ivf_stored,
         "ft_compat_analyzer": q_ft_compat_analyzer,
     }
