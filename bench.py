@@ -95,6 +95,30 @@ def main() -> None:
 
     idx = timed("index_build_compat", lambda: _build("compat", True))
     extra["index_docs_per_sec_compat"] = round(n_docs / timings["index_build_compat"], 1)
+
+    # fused staged build (r05): the cluster-scale path — analyze+encode
+    # in one pass, full artifact set written, NO token table. More work
+    # than the headline (which writes postings only), kept as an extra
+    # so the headline stays round-comparable.
+    def _build_fused():
+        import shutil
+
+        from large_scale_hypertextual_search_engine_spark.plans.lineage import (
+            build_and_save_index,
+        )
+
+        shutil.rmtree("/tmp/bench_fused_idx", ignore_errors=True)
+        build_and_save_index(
+            docs, "/tmp/bench_fused_idx",
+            fingerprint=f"bench-fused-{time.time()}",
+            mode="compat", stem=True, strategy="fused",
+        )
+
+    timed("index_build_fused_staged", _build_fused)
+    extra["index_build_fused_staged_s"] = timings.pop("index_build_fused_staged")
+    extra["index_docs_per_sec_fused"] = round(
+        n_docs / extra["index_build_fused_staged_s"], 1
+    )
     idx = timed("index_build_simple", lambda: _build("simple", False))
     extra["index_docs_per_sec_simple"] = round(n_docs / timings["index_build_simple"], 1)
     # serve queries from the materialized index (the realistic shape:

@@ -179,7 +179,16 @@ n = docs.count()
 # this host, while the compute-bound analyzer stage inflated only
 # 1.45x — bandwidth contention, not engine serialization.
 import shutil
-strategy = os.environ.get("SCALING_STRATEGY", "spimi")
+# r05: default moved spimi -> fused. The fused strategy is the same
+# cluster-scale plan (narrow phase 1, compressed runs as the ONLY wide
+# exchange) minus the materialized token table — one analyze+encode
+# pass. Measured same-window at 150k docs/16 cores: 92.0 s -> 20.6 s
+# (and the phase-2 decode-merge fallback that bin-packed file splits
+# forced onto every hot term is gone — see index_build.py
+# _spimi_chunk_stream's segment machinery). Byte-identical artifacts
+# (tests/test_fused_build.py), so the measured job is unchanged in
+# output, only in plan.
+strategy = os.environ.get("SCALING_STRATEGY", "fused")
 idx_dir = f"/tmp/scaling_{cores}_idx"
 shutil.rmtree(idx_dir, ignore_errors=True)
 t0 = time.time(); bsteal0 = _steal_pinned_cs()

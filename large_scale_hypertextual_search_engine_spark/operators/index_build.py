@@ -177,15 +177,63 @@ def _spimi_encode_partition(block_size: int, chunk_rows: int = 500_000):
     by doc_int (build_index guarantees it); _merge_batches verifies and
     falls back to a decode-merge for overlapping runs otherwise.
     """
+    import pyarrow.compute as pc
+
+    def _extract(batches):
+        for batch in batches:
+            posl = batch.column("positions")
+            # stay in 32-bit: positions/list-lengths are int32 straight
+            # from Arrow (zero-copy), doc ids/lengths downcast when they
+            # fit (always, below 2^31 docs — else the int64 fallback
+            # keeps correctness and encode_runs_batched dispatches i64)
+            d64 = batch.column("doc_int").to_numpy(zero_copy_only=False)
+            if d64.dtype != np.int32 and (
+                d64.size == 0 or int(d64.max()) < 2**31
+            ):
+                d64 = d64.astype(np.int32)
+            l64 = batch.column("doc_len").to_numpy(zero_copy_only=False)
+            if l64.dtype != np.int32 and (
+                l64.size == 0 or int(l64.max()) < 2**31
+            ):
+                l64 = l64.astype(np.int32)
+            yield (
+                batch.column("term"),
+                d64,
+                l64,
+                pc.list_value_length(posl).to_numpy().astype(np.int32, copy=False),
+                posl.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False),
+            )
+
+    def _encode(batches):
+        yield from _spimi_chunk_stream(_extract(batches), block_size, chunk_rows)
+
+    return _encode
+
+
+# forward doc_int jump beyond which a SPIMI chunk splits (see the
+# boundary comment in _spimi_chunk_stream): file-boundary jumps are
+# file-sized (>> this), in-file gaps from zero-token docs are ~1-2
+_GAP_SPLIT = 256
+
+
+def _spimi_chunk_stream(tuples, block_size: int, chunk_rows: int):
+    """SPIMI phase-1 core, input-agnostic: consumes ``(term: pa.Array,
+    doc_int: np, doc_len: np, tfs: np, flat_positions: np)`` tuples
+    (one per upstream batch, rows already exploded per (doc, term)),
+    accumulates up to ``chunk_rows`` rows per SPIMI chunk, groups by
+    term with a dictionary encode + lexsort, varbyte-encodes one run
+    per (term, chunk), and yields RUNS_DDL RecordBatches after
+    partition-end compaction. Shared by the token-table path
+    (:func:`_spimi_encode_partition`) and the fused analyze+encode path
+    (:func:`_fused_analyze_encode_partition`)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    def _encode(batches):
-        acc: list = []
-        acc_rows = 0
-        chunks: list = []  # per-chunk encoded runs, compacted at the end
+    acc: list = []
+    acc_rows = 0
+    chunks: list = []  # per-chunk encoded runs, compacted at the end
 
-        def flush():
+    def flush():
             nonlocal acc, acc_rows
             if not acc_rows:
                 return
@@ -230,41 +278,251 @@ def _spimi_encode_partition(block_size: int, chunk_rows: int = 500_000):
                 pa.array(codes_s[seg[:-1]].astype(np.int64))
             )
             chunks.append(
-                (run_terms, firsts, lasts, dfs, tf_sums, bodies, blocks_bins)
+                (seg_id, run_terms, firsts, lasts, dfs, tf_sums, bodies, blocks_bins)
             )
 
-        for batch in batches:
-            posl = batch.column("positions")
-            # stay in 32-bit: positions/list-lengths are int32 straight
-            # from Arrow (zero-copy), doc ids/lengths downcast when they
-            # fit (always, below 2^31 docs — else the int64 fallback
-            # keeps correctness and encode_runs_batched dispatches i64)
-            d64 = batch.column("doc_int").to_numpy(zero_copy_only=False)
-            if d64.dtype != np.int32 and (
-                d64.size == 0 or int(d64.max()) < 2**31
-            ):
-                d64 = d64.astype(np.int32)
-            l64 = batch.column("doc_len").to_numpy(zero_copy_only=False)
-            if l64.dtype != np.int32 and (
-                l64.size == 0 or int(l64.max()) < 2**31
-            ):
-                l64 = l64.astype(np.int32)
-            acc.append(
-                (
-                    batch.column("term"),
-                    d64,
-                    l64,
-                    pc.list_value_length(posl).to_numpy().astype(np.int32, copy=False),
-                    posl.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False),
-                )
-            )
-            acc_rows += batch.num_rows
+    # Chunks must stay within ONE contiguous docid range so every
+    # emitted run's [first_docid, last_docid] interval is disjoint from
+    # every other run's GLOBALLY — that is what keeps phase 2 on the
+    # vectorized byte-concat path. Spark bin-packs several file splits
+    # into one input partition, so a partition's doc stream is a
+    # sequence of dense ascending segments separated by jumps (the
+    # skipped files); without splitting, one straddling chunk spans
+    # nearly the whole docid space and knocks every hot term onto the
+    # decode-merge fallback (measured: the fallback was the NORM —
+    # 6x slower phase 2). doc_int is dense inside a file (modulo
+    # zero-token docs), so a boundary is any descent or any forward
+    # jump > _GAP_SPLIT: file-boundary jumps are file-sized, while
+    # in-file gaps (zero-token docs, tombstoned rebuilds) are small.
+    # Over-splitting on a genuinely sparse input only makes MORE
+    # (still interval-disjoint, concat-mergeable) runs — never a
+    # wrong answer; under-splitting degrades to the decode fallback.
+    last_doc = None
+    seg_id = 0  # contiguous-docid segment: bumped at each boundary flush
+    sorted_mode = True
+    for tup in tuples:
+        doc = tup[1]
+        if doc.size == 0:
+            continue
+        if sorted_mode:
+            dd = np.diff(doc)
+            brks = np.flatnonzero((dd < 0) | (dd > _GAP_SPLIT)) + 1
+            if brks.size > max(1, doc.size >> 6):
+                # boundaries at > 1/64 of rows: the input is not
+                # docid-ordered (delta rebuilds, arbitrary callers) —
+                # segment-splitting would fragment runs to nothing.
+                # Revert to plain chunking, one segment per chunk, and
+                # let the phase-2 decode-merge fallback handle the
+                # interval overlaps (the pre-segment behavior).
+                sorted_mode = False
+                flush()
+                seg_id += 1
+        if not sorted_mode:
+            acc.append(tup)
+            acc_rows += doc.size
             if acc_rows >= chunk_rows:
                 flush()
-        flush()
-        yield from _compact_partition_runs(chunks)
+                seg_id += 1
+            continue
+        if brks.size:
+            # an Arrow batch can itself straddle split boundaries:
+            # split rows (and the tf-aligned flat positions) at breaks
+            term_a, _, dl, tfs, flat = tup
+            bounds = np.concatenate(([0], brks, [doc.size]))
+            pos_b = np.concatenate(([0], np.cumsum(tfs, dtype=np.int64)))
+            pieces = [
+                (
+                    term_a.slice(a, b - a),
+                    doc[a:b],
+                    dl[a:b],
+                    tfs[a:b],
+                    flat[pos_b[a] : pos_b[b]],
+                )
+                for a, b in zip(bounds[:-1].tolist(), bounds[1:].tolist())
+            ]
+        else:
+            pieces = [tup]
+        for piece in pieces:
+            pdoc = piece[1]
+            if last_doc is not None and (
+                pdoc[0] < last_doc or pdoc[0] - last_doc > _GAP_SPLIT
+            ):
+                flush()
+                seg_id += 1  # new contiguous segment
+            last_doc = int(pdoc[-1])
+            acc.append(piece)
+            acc_rows += len(pdoc)
+            if acc_rows >= chunk_rows:
+                flush()  # same segment continues: compaction may merge
+    flush()
+    yield from _compact_partition_runs(chunks)
+
+
+def _fused_analyze_encode_partition(
+    text_col: str,
+    id_col: str,
+    mode: str,
+    stem: bool,
+    stopwords,
+    remove_numbers: bool,
+    block_size: int,
+    chunk_rows: int = 500_000,
+):
+    """Fused SPIMI phase 1: tokenize AND encode in ONE narrow Arrow pass
+    over the corpus — the positional token table is never materialized.
+
+    Input batches: (id_col, doc_int, text_col). Output: the union
+    FUSED schema — ``kind=0`` rows are compressed posting runs
+    (RUNS_DDL columns; ~2-4 B/posting) and ``kind=1`` rows are per-doc
+    stats (id, doc_int, doc_len; one per input doc, including
+    zero-token docs). This is the 100 TB layout: the only materialized
+    intermediate between the corpus scan and the shuffle-by-term merge
+    is the compressed-run table, which is smaller than the postings
+    themselves — vs the exploded token table, which is larger than the
+    input text and was both written and re-read by the staged path
+    (tokens: 218 MB / 50M rows at the 300k-doc scaling corpus, vs
+    ~60 MB of runs). Skipping it also skips the nested-Arrow
+    array<struct<term, positions>> round-trip of ``analyze_agg_udf`` —
+    per-doc aggregation feeds flat numpy arrays straight into the
+    shared SPIMI chunk stream (:func:`_spimi_chunk_stream`), so the
+    final postings stay byte-identical to the spimi/salted strategies
+    (asserted in tests/test_fused_build.py)."""
+    from ..analysis.analyzer import _tokens_of
+
+    import pyarrow as pa
+
+    def _encode(batches):
+        doc_parts: list = []  # (ids: pa.Array, doc_int: np, doc_len: np)
+
+        def gen():
+            for batch in batches:
+                texts = batch.column(text_col).to_pylist()
+                ids = batch.column(id_col)
+                di64 = (
+                    batch.column("doc_int")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64, copy=False)
+                )
+                nb = len(texts)
+                doc_lens = np.zeros(nb, np.int64)
+                counts = np.zeros(nb, np.int64)
+                terms_out: list = []
+                tfs_out: list = []
+                flat_pos: list = []
+                for i, text in enumerate(texts):
+                    accd: dict = {}
+                    n = 0
+                    for term, pos, _orig in _tokens_of(
+                        text, mode, stem, stopwords, remove_numbers
+                    ):
+                        lst = accd.get(term)
+                        if lst is None:
+                            accd[term] = [pos]
+                        else:
+                            lst.append(pos)
+                        n += 1
+                    doc_lens[i] = n
+                    counts[i] = len(accd)
+                    for t, ps in accd.items():
+                        ps.sort()  # tokenize emits ascending; defensive
+                        terms_out.append(t)
+                        tfs_out.append(len(ps))
+                        flat_pos.extend(ps)
+                doc_parts.append((ids, di64, doc_lens))
+                if not terms_out:
+                    continue
+                idt = (
+                    np.int32
+                    if di64.size == 0 or int(di64.max()) < 2**31
+                    else np.int64
+                )
+                yield (
+                    pa.array(terms_out, pa.string()),
+                    np.repeat(di64.astype(idt, copy=False), counts),
+                    np.repeat(doc_lens.astype(np.int32, copy=False), counts),
+                    np.asarray(tfs_out, np.int32),
+                    np.asarray(flat_pos, np.int32),
+                )
+
+        # run batches only materialize after gen() is exhausted
+        # (partition-end compaction), so doc_parts is complete by the
+        # time the first one is yielded
+        for rb in _spimi_chunk_stream(gen(), block_size, chunk_rows):
+            n = rb.num_rows
+            id_type = doc_parts[0][0].type
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.zeros(n, np.int32))]
+                + [rb.column(i) for i in range(rb.num_columns)]
+                + [
+                    pa.nulls(n, id_type),
+                    pa.nulls(n, pa.int64()),
+                    pa.nulls(n, pa.int64()),
+                ],
+                names=FUSED_NAMES,
+            )
+        for ids, di, dl in doc_parts:
+            n = len(di)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.ones(n, np.int32)),
+                    pa.nulls(n, pa.string()),
+                    pa.nulls(n, pa.int32()),
+                    pa.nulls(n, pa.int64()),
+                    pa.nulls(n, pa.int64()),
+                    pa.nulls(n, pa.int64()),
+                    pa.nulls(n, pa.int64()),
+                    pa.nulls(n, pa.binary()),
+                    pa.nulls(n, pa.binary()),
+                    ids,
+                    pa.array(di),
+                    pa.array(dl),
+                ],
+                names=FUSED_NAMES,
+            )
 
     return _encode
+
+
+FUSED_NAMES = [
+    "kind", "term", "salt", "df", "tf", "first_docid", "last_docid",
+    "body", "blocks_bin", "docid", "doc_int", "doc_len",
+]
+
+
+def fused_runs_schema(id_type) -> StructType:
+    """Spark schema of the fused runs+doc-stats union table. ``id_type``
+    is the Spark DataType of the document id column."""
+    return StructType(
+        [
+            StructField("kind", IntegerType()),
+            StructField("term", StringType()),
+            StructField("salt", IntegerType()),
+            StructField("df", LongType()),
+            StructField("tf", LongType()),
+            StructField("first_docid", LongType()),
+            StructField("last_docid", LongType()),
+            StructField("body", BinaryType()),
+            StructField("blocks_bin", BinaryType()),
+            StructField("docid", id_type),
+            StructField("doc_int", LongType()),
+            StructField("doc_len", LongType()),
+        ]
+    )
+
+
+def merge_runs_to_postings(
+    runs: DataFrame, partitions: int | None = None
+) -> DataFrame:
+    """SPIMI phase 2: hash-exchange compressed runs by term, one
+    streaming-Arrow segmented merge per partition (no collect_list, no
+    per-term Python). The only wide exchange of the fused build."""
+    if partitions is None:
+        partitions = int(
+            runs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    return runs.repartition(partitions, "term").mapInArrow(
+        _merge_stream, POSTINGS_SCHEMA
+    )
 
 
 def _compact_partition_runs(chunks: list, max_batch_bytes: int = 1 << 27):
@@ -290,30 +548,41 @@ def _compact_partition_runs(chunks: list, max_batch_bytes: int = 1 << 27):
     if not chunks:
         return
     if len(chunks) == 1:
-        yield from _emit_run_batches(chunks[0], max_batch_bytes)
+        yield from _emit_run_batches(chunks[0][1:], max_batch_bytes)
         return
-    term_all = pa.concat_arrays([c[0] for c in chunks])
-    firsts = np.concatenate([c[1] for c in chunks])
-    lasts = np.concatenate([c[2] for c in chunks])
-    dfs = np.concatenate([c[3] for c in chunks])
-    tfs = np.concatenate([c[4] for c in chunks])
-    bodies = [b for c in chunks for b in c[5]]
-    blocks = [b for c in chunks for b in c[6]]
+    term_all = pa.concat_arrays([c[1] for c in chunks])
+    firsts = np.concatenate([c[2] for c in chunks])
+    lasts = np.concatenate([c[3] for c in chunks])
+    dfs = np.concatenate([c[4] for c in chunks])
+    tfs = np.concatenate([c[5] for c in chunks])
+    bodies = [b for c in chunks for b in c[6]]
+    blocks = [b for c in chunks for b in c[7]]
+    n_runs = [len(c[6]) for c in chunks]
+    segs = np.repeat(
+        np.asarray([c[0] for c in chunks], dtype=np.int64), n_runs
+    )
     salts = np.repeat(
-        np.arange(len(chunks), dtype=np.int32),
-        [len(c[5]) for c in chunks],
+        np.arange(len(chunks), dtype=np.int32), n_runs
     )
     chunks.clear()
 
     d = pc.dictionary_encode(term_all)
     codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    # stable sort by code keeps chunk (= ascending docid) order per term
-    order = np.argsort(codes, kind="stable")
+    # merge ONLY within (term, contiguous-docid segment): merging a
+    # term's runs across segments would produce one run whose interval
+    # spans the gap between them — overlapping other partitions' runs
+    # and forcing phase 2 onto the decode path for every hot term.
+    # Within a segment, chunk order is ascending docid, but sort by
+    # interval explicitly anyway (cheap, and order-independent).
+    nseg = int(segs.max()) + 1
+    gkey = codes * nseg + segs
+    order = np.lexsort((lasts, firsts, gkey))
+    gkey_s = gkey[order]
     codes_s = codes[order]
     firsts_s = firsts[order]
     lasts_s = lasts[order]
     n = codes_s.size
-    seg = np.concatenate(([0], np.flatnonzero(np.diff(codes_s)) + 1, [n]))
+    seg = np.concatenate(([0], np.flatnonzero(np.diff(gkey_s)) + 1, [n]))
     not_start = np.ones(n, dtype=bool)
     not_start[seg[:-1]] = False
     prev_last = np.empty(n, dtype=np.int64)
@@ -810,12 +1079,7 @@ def build_postings(
             .agg(F.sort_array(F.collect_list("p")).alias("pl"))
         )
         runs = grouped.mapInArrow(_encode_arrow_batches(block_size), RUNS_DDL)
-    # phase-2 merge: hash-exchange the compressed runs by term, then one
-    # streaming-Arrow segmented merge per partition (no collect_list, no
-    # per-term Python loop — _merge_stream)
-    return runs.repartition(partitions, "term").mapInArrow(
-        _merge_stream, POSTINGS_SCHEMA
-    )
+    return merge_runs_to_postings(runs, partitions)
 
 
 def build_index(

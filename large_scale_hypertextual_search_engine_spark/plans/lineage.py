@@ -140,6 +140,13 @@ def build_and_save_index(
         fingerprint,
         lambda: assign_dense_ids(docs.select("docid", "content"), "docid", "doc_int"),
     )
+    if strategy == "fused":
+        return _build_and_save_index_fused(
+            spark, d, fingerprint, docs_ids,
+            mode=mode, stem=stem, stopwords=stopwords,
+            block_size=block_size, n_buckets=n_buckets,
+            with_forward_index=with_forward_index,
+        )
     tokens_all = run_stage(
         spark,
         "tokens",
@@ -214,6 +221,124 @@ def build_and_save_index(
         )
     # every stage is on disk now: release the id-minting caches so
     # repeated builds in one session don't pin storage (ADVICE r1)
+    from ..operators.ids import release_id_caches
+
+    release_id_caches()
+    return out
+
+
+def _build_and_save_index_fused(
+    spark: SparkSession,
+    d: str,
+    fingerprint: str,
+    docs_ids: DataFrame,
+    *,
+    mode: str,
+    stem: bool,
+    stopwords: frozenset[str] | None,
+    block_size: int,
+    n_buckets: int,
+    with_forward_index: bool,
+) -> dict[str, DataFrame]:
+    """Fused-strategy staged build: the cluster-scale stage graph.
+
+    Replaces the ``tokens`` stage (an exploded positional token table
+    LARGER than the input text, written once and re-read twice) with a
+    single ``runs`` stage: one narrow analyze+SPIMI-encode Arrow pass
+    over the corpus emitting a union table of compressed posting runs
+    (kind=0, ~2-4 B/posting) and per-doc stats (kind=1), partitioned by
+    ``kind`` so each consumer's scan prunes to its own files. At 100 TB
+    this is the difference between shuffling/writing the corpus-sized
+    token table and writing an intermediate smaller than the final
+    postings. Resumability is preserved — ``runs`` is the checkpoint;
+    postings (the one wide exchange), doc_stats, and the lexicon all
+    derive from it. Final artifacts are byte-identical to the
+    spimi/salted strategies (tests/test_fused_build.py)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.index_build import (
+        RUNS_DDL,
+        _fused_analyze_encode_partition,
+        fused_runs_schema,
+        merge_runs_to_postings,
+        term_bucket_col,
+    )
+    from ..operators.ids import assign_dense_ids
+
+    if with_forward_index:
+        raise ValueError(
+            "with_forward_index requires the token table; use "
+            "strategy='spimi' or 'salted' (the fused build never "
+            "materializes tokens)"
+        )
+    run_cols = [c.split()[0] for c in RUNS_DDL.split(", ")]
+
+    def _runs():
+        # NO coalesce: docs_ids is range-partitioned by doc_int, so
+        # every parquet file — and every file SPLIT — covers a
+        # contiguous, pairwise-disjoint docid range, and phase-2 merges
+        # runs by cheap ordered byte-concat. coalesce would merge
+        # splits in Spark's size-desc scheduling order, interleaving
+        # docid ranges and knocking every hot term onto the decode-
+        # merge path (measured 6x slower phase 2).
+        return docs_ids.mapInArrow(
+            _fused_analyze_encode_partition(
+                "content", "docid", mode, stem, stopwords, False, block_size
+            ),
+            fused_runs_schema(docs_ids.schema["docid"].dataType),
+        )
+
+    runs_all = run_stage(
+        spark, "runs", f"{d}/runs", fingerprint, _runs,
+        partition_by=["kind"],
+    )
+    docid_map = run_stage(
+        spark, "docid_map", f"{d}/docid_map", fingerprint,
+        lambda: docs_ids.select("docid", "doc_int"),
+    )
+    n_docs = docid_map.count()
+    doc_stats = run_stage(
+        spark, "doc_stats", f"{d}/doc_stats", fingerprint,
+        lambda: runs_all.filter(F.col("kind") == 1).select(
+            "docid", "doc_int", "doc_len"
+        ),
+    )
+    collection_stats = run_stage(
+        spark, "collection_stats", f"{d}/collection_stats", fingerprint,
+        lambda: doc_stats.agg(
+            F.lit(n_docs).cast("long").alias("n_docs"),
+            (F.sum("doc_len") / F.lit(n_docs)).alias("avg_dl"),
+        ),
+    )
+    postings = run_stage(
+        spark, "postings", f"{d}/postings", fingerprint,
+        lambda: merge_runs_to_postings(
+            runs_all.filter(F.col("kind") == 0).select(*run_cols)
+        ).withColumn("bucket_id", term_bucket_col(n_buckets)),
+        partition_by=["bucket_id"],
+        sort_by=["term"],
+        extra_meta={"n_buckets": n_buckets},
+    )
+    lexicon = run_stage(
+        spark, "lexicon", f"{d}/lexicon", fingerprint,
+        lambda: assign_dense_ids(
+            postings.select("term", "df", "tf", F.length("postings").alias("bytes")),
+            "term",
+            "term_id",
+        ).select(
+            "term_id", "term", "df", "tf", "bytes",
+            term_bucket_col(n_buckets),
+        ),
+        sort_by=["term"],
+    )
+    out = {
+        "docid_map": docid_map,
+        "doc_stats": doc_stats,
+        "collection_stats": collection_stats,
+        "postings": postings,
+        "lexicon": lexicon,
+        "terms_list": lexicon.select("term", "term_id"),
+    }
     from ..operators.ids import release_id_caches
 
     release_id_caches()

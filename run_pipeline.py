@@ -100,6 +100,7 @@ def cmd_index(args) -> None:
     idx = build_and_save_index(
         docs, args.out, fp, mode=args.mode, stem=args.stem,
         salt_buckets=args.salt_buckets, block_size=args.block_size,
+        strategy=args.build_strategy,
     )
     wall = time.time() - t0
     n_docs = idx["docid_map"].count()
@@ -1165,6 +1166,13 @@ def main() -> None:
     p.add_argument("--stem", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--salt-buckets", type=int, default=None)
     p.add_argument("--block-size", type=int, default=128)
+    p.add_argument(
+        "--build-strategy", default="salted",
+        choices=["salted", "spimi", "fused"],
+        help="salted: single-node default; spimi: token table + narrow "
+        "encode; fused: analyze+encode in one pass, no token table "
+        "(the cluster-scale path)",
+    )
     p.add_argument("--resume", action="store_true",
                    help="skip stages whose checkpoint fingerprint matches")
     p.add_argument("--input-format", default="parquet",
