@@ -992,6 +992,25 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing: whitespace-token
+    stream in doc_id order cut into 512-token training sequences; one
+    row per (doc, sequence it contributes to). Distributed prefix-sum
+    (range exchange + P driver offsets + narrow span kernel) — never a
+    one-task global ORDER BY window."""
+    from large_scale_hypertextual_search_engine_spark.operators.selection import (
+        pack_sequences,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.textstats import (
+        token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, seq_len=512).orderBy("doc_id", "seq_id")
+
+
 def q_token_counts(spark, sf_dir):
     """Whitespace + BPE-ish pretokenizer token counts per doc — the
     training-data budgeting primitives, both pure codegen expressions."""
@@ -1487,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_report": q_decontam_report,
         "select_budget": q_select_budget,
         "sample_stratified": q_sample_stratified,
+        "pack_sequences": q_pack_sequences,
         "lang_id": q_lang_id,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -2731,6 +2751,27 @@ FROM documents LEFT JOIN thr USING (lang)
 WHERE '0' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
       < COALESCE(thr, '00ccccccc')
 ORDER BY doc_id""",
+        "pack_sequences": r"""
+WITH toks AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+      AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    CAST(SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT) AS s
+  FROM toks WHERE n_tokens > 0
+)
+SELECT c.doc_id,
+  k.seq_id,
+  GREATEST(c.s, k.seq_id * 512) - k.seq_id * 512 AS tok_start,
+  LEAST(c.s + c.n_tokens, (k.seq_id + 1) * 512)
+    - GREATEST(c.s, k.seq_id * 512) AS n_tok
+FROM c, LATERAL (
+  SELECT UNNEST(range(c.s // 512, (c.s + c.n_tokens - 1) // 512 + 1))
+    AS seq_id
+) k
+ORDER BY doc_id, seq_id""",
         "token_counts": r"""
 SELECT doc_id,
   CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)

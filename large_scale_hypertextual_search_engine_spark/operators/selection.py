@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 from pyspark.storagelevel import StorageLevel
 
-__all__ = ["select_by_token_budget", "sample_stratified"]
+__all__ = ["select_by_token_budget", "sample_stratified", "pack_sequences"]
 
 
 def select_by_token_budget(
@@ -114,6 +114,106 @@ def select_by_token_budget(
         ranged.limit(0)
     )
     return pruned.mapInPandas(_scan, schema=out_schema)
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing (Brown et al. 2020
+    §2.3 / every causal-LM data loader): documents are concatenated in
+    ``id_col`` order into one token stream, and the stream is cut into
+    fixed ``seq_len`` windows; documents straddle window boundaries.
+
+    Returns one row per (document, sequence it contributes to):
+    ``(id_col, seq_id, tok_start, n_tok)`` — ``tok_start`` is the
+    document's offset WITHIN sequence ``seq_id`` and ``n_tok`` how many
+    of its tokens land there (a long doc spans several sequences; a
+    window packs several short docs). Zero/null-token docs contribute
+    nothing. Deterministic in the id order.
+
+    Equivalent to the SQL single-window formulation
+    ``SUM(tokens) OVER (ORDER BY id) - tokens AS stream_start`` +
+    a per-doc series over the spanned windows — but a global ORDER BY
+    window is a one-task funnel, so this reuses the distributed
+    prefix-sum of :func:`select_by_token_budget`: one range exchange,
+    a P-number driver cumsum, then a narrow Arrow pass that computes
+    each doc's stream offset and emits its per-window spans via
+    vectorized repeat (no per-row Python, no explode shuffle).
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    spark = df.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    src = df.select(id_col, token_col).filter(
+        F.coalesce(F.col(token_col), F.lit(0)) > 0
+    )
+    ranged = (
+        src.repartitionByRange(p, F.asc(id_col))
+        .sortWithinPartitions(F.asc(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    sums = {
+        r["__pid"]: r["t"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(token_col).alias("t"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    run = 0
+    for pid in sorted(sums):
+        offsets[pid] = run
+        run += int(sums[pid])
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            id_field,
+            StructField("seq_id", LongType()),
+            StructField("tok_start", LongType()),
+            StructField("n_tok", LongType()),
+        ]
+    )
+    L = int(seq_len)
+
+    def _spans(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        run_local = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if run_local is None:
+                run_local = offsets.get(int(pdf["__pid"].iloc[0]), 0)
+            t = pdf[token_col].to_numpy(np.int64)
+            end = t.cumsum() + run_local
+            s = end - t  # exclusive stream start per doc
+            run_local = int(end[-1])
+            k0 = s // L
+            k1 = (end - 1) // L
+            nseq = (k1 - k0 + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(pdf), dtype=np.int64), nseq)
+            # sequence index per emitted row: k0[doc] + rank within doc
+            starts = np.concatenate(([0], np.cumsum(nseq)))[:-1]
+            k = (
+                np.arange(int(nseq.sum()), dtype=np.int64)
+                - np.repeat(starts, nseq)
+                + np.repeat(k0, nseq)
+            )
+            lo = np.maximum(np.repeat(s, nseq), k * L)
+            hi = np.minimum(np.repeat(end, nseq), (k + 1) * L)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[idx],
+                    "seq_id": k,
+                    "tok_start": lo - k * L,
+                    "n_tok": hi - lo,
+                }
+            )
+
+    return ranged.mapInPandas(_spans, schema=out_schema)
 
 
 def sample_stratified(

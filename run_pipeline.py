@@ -774,6 +774,42 @@ def cmd_upsert(args) -> None:
     spark.stop()
 
 
+def cmd_pack(args) -> None:
+    """Pack documents into fixed-length training sequences (GPT-style
+    concat-and-chunk, operators/selection.py pack_sequences): one output
+    row per (doc, sequence it contributes to). Input needs doc_id plus
+    either an n_tokens column or a text column (whitespace-tokenized)."""
+    from large_scale_hypertextual_search_engine_spark.operators.selection import (
+        pack_sequences,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.textstats import (
+        token_count,
+    )
+    from pyspark.sql import functions as F
+
+    spark = _spark("lshse-pack")
+    docs = spark.read.parquet(args.input)
+    if "n_tokens" not in docs.columns:
+        docs = docs.select(
+            "doc_id", token_count(F.col(args.text_col)).cast("long").alias("n_tokens")
+        )
+    packed = pack_sequences(docs, args.seq_len)
+    if args.out:
+        packed.write.mode("overwrite").parquet(args.out)
+        packed = spark.read.parquet(args.out)
+    n_rows = packed.count()
+    agg = packed.agg(
+        F.max("seq_id").alias("max_seq"), F.sum("n_tok").alias("toks")
+    ).collect()[0]
+    print(json.dumps({
+        "rows": n_rows,
+        "sequences": int(agg["max_seq"]) + 1 if agg["max_seq"] is not None else 0,
+        "tokens": int(agg["toks"] or 0),
+        "seq_len": args.seq_len,
+    }))
+    spark.stop()
+
+
 def cmd_ann(args) -> None:
     """ANN over an embeddings table: build a bucket-partitioned index
     (--build, methods lsh|ivf) or query one (--query-id / --query-vec).
@@ -1544,6 +1580,15 @@ def main() -> None:
     p.add_argument("--index", required=True)
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser(
+        "pack", help="pack docs into fixed-length training sequences"
+    )
+    p.add_argument("--input", required=True, help="parquet with doc_id + text|n_tokens")
+    p.add_argument("--seq-len", type=int, default=2048)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--out", help="optional parquet output dir")
+    p.set_defaults(fn=cmd_pack)
 
     p = sub.add_parser("package", help="build lshse.zip for --py-files")
     p.set_defaults(fn=cmd_package)

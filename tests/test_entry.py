@@ -101,7 +101,11 @@ def test_rows_only_set_is_expected():
     stated reason: property-backed kernel / stemmer mode); growing this
     set silently is a correctness-coverage regression."""
     rows_only = sorted(set(ALL_KEYS) - set(entry_mod.oracle_sql()))
-    assert rows_only == ["ft_compat_analyzer", "text_fingerprint"], rows_only
+    assert rows_only == [
+        "ann_pq",  # approximate by contract: recall + ADC-identity pytests
+        "ft_compat_analyzer",
+        "text_fingerprint",
+    ], rows_only
 
 
 def test_entry_smoke(spark):

@@ -131,3 +131,129 @@ def test_budget_plan_has_no_global_window(spark, scored):
     )
     assert "Window" not in plan, plan  # distributed scan, not a funnel
     assert "rangepartitioning" in plan, plan
+
+
+# ---------------------------------------------------------------- packing
+
+
+def _pack_brute(rows, L):
+    """rows: [(id, tokens)] -> set of (id, seq_id, tok_start, n_tok)."""
+    out = []
+    s = 0
+    for i, t in sorted(rows):
+        if not t:
+            continue
+        for k in range(s // L, (s + t - 1) // L + 1):
+            lo, hi = max(s, k * L), min(s + t, (k + 1) * L)
+            out.append((i, k, lo - k * L, hi - lo))
+        s += t
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def pack_rows():
+    import random
+
+    rng = random.Random(11)
+    return [(i, rng.randint(0, 900)) for i in range(1, 401)]
+
+
+def test_pack_matches_bruteforce(spark, pack_rows):
+    from large_scale_hypertextual_search_engine_spark.operators.selection import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(pack_rows, "doc_id long, n_tokens long")
+    got = sorted(map(tuple, pack_sequences(df, 512).collect()))
+    assert got == _pack_brute(pack_rows, 512)
+
+
+def test_pack_partition_invariance(spark, pack_rows):
+    from large_scale_hypertextual_search_engine_spark.operators.selection import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(pack_rows, "doc_id long, n_tokens long")
+    a = sorted(map(tuple, pack_sequences(df, 256, partitions=2).collect()))
+    b = sorted(
+        map(tuple, pack_sequences(df.repartition(16), 256, partitions=16).collect())
+    )
+    assert a == b
+
+
+def test_pack_sequences_are_exactly_full(spark, pack_rows):
+    """Every sequence except the last must contain exactly seq_len
+    tokens, and offsets within a sequence must tile it contiguously."""
+    from collections import defaultdict
+
+    from large_scale_hypertextual_search_engine_spark.operators.selection import (
+        pack_sequences,
+    )
+
+    L = 128
+    df = spark.createDataFrame(pack_rows, "doc_id long, n_tokens long")
+    rows = pack_sequences(df, L).collect()
+    per_seq = defaultdict(list)
+    for r in rows:
+        per_seq[r["seq_id"]].append((r["tok_start"], r["n_tok"]))
+    last = max(per_seq)
+    assert set(per_seq) == set(range(last + 1))  # no gaps in seq ids
+    for k, spans in per_seq.items():
+        spans.sort()
+        total = sum(n for _, n in spans)
+        assert total == L or (k == last and 0 < total <= L)
+        pos = 0
+        for st, n in spans:
+            assert st == pos and n > 0
+            pos += n
+
+
+def test_pack_long_doc_spans_many_sequences(spark):
+    from large_scale_hypertextual_search_engine_spark.operators.selection import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 5000), (3, 7)], "doc_id long, n_tokens long"
+    )
+    got = sorted(map(tuple, pack_sequences(df, 512).collect()))
+    assert got == _pack_brute([(1, 10), (2, 5000), (3, 7)], 512)
+    assert len([r for r in got if r[0] == 2]) == 10  # ceil-ish span count
+
+
+def test_pack_drops_zero_and_null_token_docs(spark):
+    from large_scale_hypertextual_search_engine_spark.operators.selection import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 0), (3, None), (4, 50)], "doc_id long, n_tokens long"
+    )
+    got = sorted(map(tuple, pack_sequences(df, 512).collect()))
+    assert got == [(1, 0, 0, 100), (4, 0, 100, 50)]
+
+
+def test_pack_rejects_bad_seq_len(spark):
+    from large_scale_hypertextual_search_engine_spark.operators.selection import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError):
+        pack_sequences(df, 0)
+
+
+def test_pack_plan_has_no_global_window(spark, pack_rows):
+    from large_scale_hypertextual_search_engine_spark.operators.selection import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(pack_rows, "doc_id long, n_tokens long")
+    plan = (
+        pack_sequences(df, 512)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" in plan, plan
