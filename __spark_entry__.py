@@ -45,8 +45,8 @@ def _oracle_path(kind: str, sf_dir: str | None = None) -> str:
 
 _ORACLE_PATHS: dict[str, str] = {}
 for _kind in (
-    "minhash_sigs", "simhash", "ivf", "ivf_centroids", "dup_pairs",
-    "merge_a", "merge_b", "merge_out",
+    "minhash_sigs", "simhash", "ivf", "ivf_centroids", "ivfpq",
+    "ivfpq_centroids", "dup_pairs", "merge_a", "merge_b", "merge_out",
 ):
     _oracle_path(_kind, "/root/testdata/sf0.01")
 
@@ -694,6 +694,39 @@ def q_pagerank(spark, sf_dir):
             F.round("rank", 9).alias("rank"),
         )
         .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(50)
+    )
+
+
+def q_hits(spark, sf_dir):
+    """Kleinberg HITS over the same synthetic link graph as
+    q_pagerank: 6 iterations, L2-normalized after every half-step;
+    DuckDB oracle unrolls the identical half-steps as CTE stages.
+    Ordered by ROUNDED authority so the top-50 cut is FP-robust."""
+    from large_scale_hypertextual_search_engine_spark.operators.linkrank import (
+        hits,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    src = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("src")
+    )
+    parts = [
+        src.select("src", ((F.col("src") * a + c) % n).alias("dst"))
+        for a, c in ((7, 1), (13, 3), (31, 11))
+    ]
+    edges = parts[0].union(parts[1]).union(parts[2]).filter(
+        F.col("src") != F.col("dst")
+    )
+    r = hits(edges, n_iter=6)
+    return (
+        r.select(
+            F.col("id").cast("long").alias("id"),
+            F.round("authority", 9).alias("authority"),
+            F.round("hub", 9).alias("hub"),
+        )
+        .orderBy(F.desc("authority"), F.asc("id"))
         .limit(50)
     )
 
@@ -1355,6 +1388,80 @@ def q_ann_ivf_stored(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ (IVFADC, Jégou et al. 2011 §IV): coarse cells + residual
+    PQ codes, 32x-compressed storage partitioned by cell. The probe
+    selection (stored centroids) and the exact re-rank over the probed
+    cells are oracle-checked (stored-artifact pattern, as ann_ivf);
+    the ADC kernel runs in-path feeding the re-rank candidates, and
+    its quantization quality is pytest-asserted via recall + the
+    exact ADC==reconstruction identity (tests/test_pq.py)."""
+    from large_scale_hypertextual_search_engine_spark.operators.pq import (
+        ivfpq_topk, write_ivfpq_partitioned,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = _oracle_path("ivfpq", sf_dir)
+    C, _cb = write_ivfpq_partitioned(
+        emb, path, n_centroids=16, m=8, k=256, seed=42
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(C)],
+        "centroid_id int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _oracle_path("ivfpq_centroids", sf_dir)
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    # refine >= probed-cell population: every probed row is exactly
+    # re-scored, so the result is the exact top-k WITHIN the probed
+    # cells — SQL-reproducible — while the ADC gather still executes
+    # as the candidate stage.
+    return ivfpq_topk(
+        spark, path, qvec, k=10, nprobe=4,
+        refine_with=emb, refine=1 << 30,
+    ).select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _ann_ivfpq_stored_oracle() -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT centroid_id, cvec
+  FROM read_parquet('{_oracle_path("ivfpq_centroids")}/*.parquet')
+),
+probes AS (
+  SELECT c.centroid_id
+  FROM c CROSS JOIN q
+  ORDER BY list_sum(list_transform(generate_series(1, len(c.cvec)),
+    i -> c.cvec[i] * CAST(q.qv[i] AS DOUBLE))) DESC, c.centroid_id ASC
+  LIMIT 4
+),
+cand AS (
+  SELECT vec_id
+  FROM read_parquet('{_oracle_path("ivfpq")}/*/*.parquet', hive_partitioning = true)
+  WHERE centroid_id IN (SELECT centroid_id FROM probes)
+),
+v AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN cand USING (vec_id)
+),
+s AS (
+  SELECT v.vec_id,
+    list_sum(list_transform(generate_series(1, len(v.embedding)),
+      i -> CAST(v.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+    / ( sqrt(list_sum(list_transform(generate_series(1, len(v.embedding)),
+          i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))))
+      * sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+          i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) ) AS score
+  FROM v CROSS JOIN q
+)
+SELECT vec_id, round(score, 6) AS score
+FROM s ORDER BY score DESC, vec_id ASC LIMIT 10"""
+
+
 def _ann_ivf_stored_oracle() -> str:
     return f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -1467,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_deleted": q_ft_bm25_deleted,
         "ft_fuzzy": q_ft_fuzzy,
         "pagerank_top": q_pagerank,
+        "hits_top": q_hits,
         "ft_facets": q_ft_facets,
         "ft_merged": q_ft_merged,
         "ft_bm25f": q_ft_bm25f,
@@ -1525,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
         "ann_ivf_stored": q_ann_ivf_stored,
+        "ann_ivfpq": q_ann_ivfpq,
         "ft_compat_analyzer": q_ft_compat_analyzer,
     }
 
@@ -1767,6 +1876,67 @@ r{i} AS (SELECT nodes.id,
 SELECT id, round(rank, 9) AS rank
 FROM r{n_iter}
 ORDER BY round(rank, 9) DESC, id ASC
+LIMIT 50"""
+    )
+
+
+def _hits_sql(n_iter: int = 6) -> str:
+    """Oracle for q_hits: the SAME synthetic edge rule and the SAME
+    half-step-normalized power iteration, unrolled one CTE pair per
+    iteration. Both sides round to 9 decimals and order by the ROUNDED
+    authority (sub-ulp FP association tolerance, as _pagerank_sql)."""
+    nn = "(SELECT COUNT(*) FROM documents)"
+    edge_selects = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {a} + {c}) % {nn} AS dst "
+        f"FROM documents WHERE doc_id % 5 <> 0"
+        for a, c in ((7, 1), (13, 3), (31, 11))
+    )
+    stages = [
+        f"""
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM ({edge_selects}) WHERE src <> dst
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM edges UNION SELECT dst FROM edges
+  )
+),
+h0 AS MATERIALIZED (SELECT id, 1.0 AS h FROM nodes)"""
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        stages.append(f"""
+ar{i} AS MATERIALIZED (SELECT nodes.id, COALESCE(x.a, 0) AS a
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS id, SUM(h.h) AS a
+            FROM edges e JOIN h{p} h ON h.id = e.src GROUP BY e.dst
+          ) x ON x.id = nodes.id),
+an{i} AS (SELECT sqrt(SUM(a * a)) AS n FROM ar{i}),
+a{i} AS MATERIALIZED (SELECT id,
+           CASE WHEN (SELECT n FROM an{i}) > 0
+                THEN a / (SELECT n FROM an{i}) ELSE a END AS a
+         FROM ar{i}),
+hr{i} AS MATERIALIZED (SELECT nodes.id, COALESCE(x.h, 0) AS h
+          FROM nodes LEFT JOIN (
+            SELECT e.src AS id, SUM(a.a) AS h
+            FROM edges e JOIN a{i} a ON a.id = e.dst GROUP BY e.src
+          ) x ON x.id = nodes.id),
+hn{i} AS (SELECT sqrt(SUM(h * h)) AS n FROM hr{i}),
+h{i} AS MATERIALIZED (SELECT id,
+           CASE WHEN (SELECT n FROM hn{i}) > 0
+                THEN h / (SELECT n FROM hn{i}) ELSE h END AS h
+         FROM hr{i})""")
+    return (
+        "WITH "
+        + ",".join(stages)
+        + f"""
+SELECT nodes.id,
+       round(a{n_iter}.a, 9) AS authority,
+       round(h{n_iter}.h, 9) AS hub
+FROM nodes
+JOIN a{n_iter} ON a{n_iter}.id = nodes.id
+JOIN h{n_iter} ON h{n_iter}.id = nodes.id
+ORDER BY round(a{n_iter}.a, 9) DESC, nodes.id ASC
 LIMIT 50"""
     )
 
@@ -2228,6 +2398,7 @@ CROSS JOIN stats s
 ORDER BY k.rank, t.term""",
         "ft_boolean_near": _boolean_near_sql("fast", "key", 4, "merge"),
         "pagerank_top": _pagerank_sql(6, 0.85),
+        "hits_top": _hits_sql(6),
         "ft_rm3": f"""
 WITH {_TOKS},{_DL_STATS},
 qt0 AS (SELECT 'spark' AS term UNION ALL SELECT 'join'),
@@ -2623,6 +2794,7 @@ FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""",
         # primary folded onto its stored twin (round-4: every fold-able
         # entry converges to oracle-checked; see q_ann_ivf docstring)
         "ann_ivf": _ann_ivf_stored_oracle(),
+        "ann_ivfpq": _ann_ivfpq_stored_oracle(),
         # oracle over the SAME persisted signature table the Spark query
         # writes (the kernel is pytest-verified; banding/est_jaccard are
         # relational and fully checked here). 16 bands x 4 rows; DuckDB

@@ -1046,11 +1046,13 @@ def build_postings(
     dl_col = (F.col("doc_len") if has_dl else F.lit(0)).cast("long").alias("doc_len")
 
     if strategy == "spimi":
-        # coalesce to ~half the shuffle partitions (= cores locally): runs
-        # per term scale with partition count, and the phase-2 merge cost
-        # scales with total runs. coalesce merges ADJACENT partitions, so
-        # docid-range disjointness is preserved; chunk_rows still bounds
-        # kernel memory.
+        # coalesce to ~half the shuffle partitions (= cores locally) to
+        # bound python-worker count; run count is governed by the
+        # CONTIGUOUS-SEGMENT structure of the input (one run per term
+        # per segment — see _spimi_chunk_stream), not the partition
+        # count, so coalescing neither reduces runs nor (since the
+        # segment fix) breaks interval disjointness. chunk_rows still
+        # bounds kernel memory.
         src = tokens.select(
             "term", F.col("doc_int").cast("long"), "positions", dl_col
         )

@@ -133,6 +133,13 @@ def build_and_save_index(
     spark = docs.sparkSession
     d = out_dir.rstrip("/")
 
+    if strategy == "fused":
+        return _build_and_save_index_fused(
+            spark, d, fingerprint, docs,
+            mode=mode, stem=stem, stopwords=stopwords,
+            block_size=block_size, n_buckets=n_buckets,
+            with_forward_index=with_forward_index,
+        )
     docs_ids = run_stage(
         spark,
         "docs_ids",
@@ -140,13 +147,6 @@ def build_and_save_index(
         fingerprint,
         lambda: assign_dense_ids(docs.select("docid", "content"), "docid", "doc_int"),
     )
-    if strategy == "fused":
-        return _build_and_save_index_fused(
-            spark, d, fingerprint, docs_ids,
-            mode=mode, stem=stem, stopwords=stopwords,
-            block_size=block_size, n_buckets=n_buckets,
-            with_forward_index=with_forward_index,
-        )
     tokens_all = run_stage(
         spark,
         "tokens",
@@ -231,7 +231,7 @@ def _build_and_save_index_fused(
     spark: SparkSession,
     d: str,
     fingerprint: str,
-    docs_ids: DataFrame,
+    docs: DataFrame,
     *,
     mode: str,
     stem: bool,
@@ -247,13 +247,18 @@ def _build_and_save_index_fused(
     single ``runs`` stage: one narrow analyze+SPIMI-encode Arrow pass
     over the corpus emitting a union table of compressed posting runs
     (kind=0, ~2-4 B/posting) and per-doc stats (kind=1), partitioned by
-    ``kind`` so each consumer's scan prunes to its own files. At 100 TB
-    this is the difference between shuffling/writing the corpus-sized
-    token table and writing an intermediate smaller than the final
-    postings. Resumability is preserved — ``runs`` is the checkpoint;
-    postings (the one wide exchange), doc_stats, and the lexicon all
-    derive from it. Final artifacts are byte-identical to the
-    spimi/salted strategies (tests/test_fused_build.py)."""
+    ``kind`` so each consumer's scan prunes to its own files. The
+    ``docs_ids`` content checkpoint is also skipped — a second full
+    copy of the corpus written just to persist id minting; the fused
+    graph feeds the analyze pass straight from the (persisted)
+    range-shuffled id frame, whose partitions are perfectly contiguous
+    ascending docid segments. At 100 TB this is the difference between
+    writing the corpus TWICE more (docs_ids + tokens) and writing one
+    intermediate smaller than the final postings. Resumability:
+    ``runs`` + ``docid_map`` are the checkpoints; when both are
+    current, id minting never re-runs (lazy holder below). Final
+    artifacts are byte-identical to the spimi/salted strategies
+    (tests/test_fused_build.py)."""
     from pyspark.sql import functions as F
 
     from ..operators.index_build import (
@@ -273,19 +278,30 @@ def _build_and_save_index_fused(
         )
     run_cols = [c.split()[0] for c in RUNS_DDL.split(", ")]
 
+    _ids_cache: dict = {}
+
+    def _ids() -> DataFrame:
+        # lazy: when runs + docid_map are both resume-current, id
+        # minting (a count pass + range shuffle) never executes
+        if "df" not in _ids_cache:
+            _ids_cache["df"] = assign_dense_ids(
+                docs.select("docid", "content"), "docid", "doc_int"
+            )
+        return _ids_cache["df"]
+
     def _runs():
-        # NO coalesce: docs_ids is range-partitioned by doc_int, so
-        # every parquet file — and every file SPLIT — covers a
-        # contiguous, pairwise-disjoint docid range, and phase-2 merges
-        # runs by cheap ordered byte-concat. coalesce would merge
-        # splits in Spark's size-desc scheduling order, interleaving
-        # docid ranges and knocking every hot term onto the decode-
-        # merge path (measured 6x slower phase 2).
-        return docs_ids.mapInArrow(
+        # The id frame is range-partitioned by docid with doc_int
+        # minted in partition order: every partition is one contiguous,
+        # pairwise-disjoint, ascending docid segment — the layout the
+        # segment-aware SPIMI compaction turns into globally
+        # interval-disjoint runs (pure byte-concat phase 2). No
+        # parquet round-trip, so no bin-packing interleave either.
+        ids = _ids().select("docid", "doc_int", "content")
+        return ids.mapInArrow(
             _fused_analyze_encode_partition(
                 "content", "docid", mode, stem, stopwords, False, block_size
             ),
-            fused_runs_schema(docs_ids.schema["docid"].dataType),
+            fused_runs_schema(ids.schema["docid"].dataType),
         )
 
     runs_all = run_stage(
@@ -294,7 +310,7 @@ def _build_and_save_index_fused(
     )
     docid_map = run_stage(
         spark, "docid_map", f"{d}/docid_map", fingerprint,
-        lambda: docs_ids.select("docid", "doc_int"),
+        lambda: _ids().select("docid", "doc_int"),
     )
     n_docs = docid_map.count()
     doc_stats = run_stage(

@@ -78,6 +78,9 @@ def test_fused_never_materializes_tokens(spark, corpus, tmp_path):
     import os
 
     assert not os.path.exists(f"{out}/tokens")
+    # the docs_ids content checkpoint (a second corpus copy) is also
+    # skipped: docid_map + runs are the fused graph's checkpoints
+    assert not os.path.exists(f"{out}/docs_ids")
     assert os.path.exists(f"{out}/runs")
     # runs checkpoint is partitioned by kind for consumer-side pruning
     assert os.path.exists(f"{out}/runs/kind=0")

@@ -161,3 +161,83 @@ def test_pagerank_boost_integration(spark, small_index, edges_df):
     ).collect()
     assert len(res) == 5
     assert all(r["score"] >= r["bm25"] for r in res)
+
+
+# ------------------------------------------------------------------ HITS
+
+
+def _np_hits(edges, n_iter=6):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    pos = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    h = np.ones(n)
+    a = np.zeros(n)
+    es = sorted(set(edges))
+    for _ in range(n_iter):
+        a = np.zeros(n)
+        for u, v in es:
+            a[pos[v]] += h[pos[u]]
+        an = np.sqrt((a * a).sum())
+        if an > 0:
+            a = a / an
+        h = np.zeros(n)
+        for u, v in es:
+            h[pos[u]] += a[pos[v]]
+        hn = np.sqrt((h * h).sum())
+        if hn > 0:
+            h = h / hn
+    return {v: (a[pos[v]], h[pos[v]]) for v in nodes}
+
+
+def test_hits_matches_numpy_mirror(spark, edges_df):
+    from large_scale_hypertextual_search_engine_spark.operators.linkrank import hits
+
+    got = {
+        r["id"]: (r["authority"], r["hub"])
+        for r in hits(edges_df, n_iter=6).collect()
+    }
+    want = _np_hits(EDGES, n_iter=6)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == pytest.approx(want[k][0], rel=1e-12, abs=1e-15), k
+        assert got[k][1] == pytest.approx(want[k][1], rel=1e-12, abs=1e-15), k
+
+
+def test_hits_l2_normalized(spark, edges_df):
+    from large_scale_hypertextual_search_engine_spark.operators.linkrank import hits
+
+    rows = hits(edges_df, n_iter=4).collect()
+    assert sum(r["authority"] ** 2 for r in rows) == pytest.approx(1.0, rel=1e-12)
+    assert sum(r["hub"] ** 2 for r in rows) == pytest.approx(1.0, rel=1e-12)
+
+
+def test_hits_star_graph(spark):
+    """Star u->{v1..v4}: u is the pure hub (authority 0), leaves are
+    equal pure authorities (hub 0)."""
+    from large_scale_hypertextual_search_engine_spark.operators.linkrank import hits
+
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    got = {r["id"]: (r["authority"], r["hub"]) for r in hits(df, n_iter=3).collect()}
+    assert got[0] == (0.0, pytest.approx(1.0))
+    for i in range(1, 5):
+        assert got[i][0] == pytest.approx(0.5)
+        assert got[i][1] == 0.0
+
+
+def test_hits_duplicate_edges_count_once(spark):
+    from large_scale_hypertextual_search_engine_spark.operators.linkrank import hits
+
+    a = spark.createDataFrame(EDGES, "src long, dst long")
+    b = spark.createDataFrame(EDGES + EDGES, "src long, dst long")
+    ra = sorted(map(tuple, hits(a, n_iter=3).collect()))
+    rb = sorted(map(tuple, hits(b, n_iter=3).collect()))
+    assert ra == rb
+
+
+def test_hits_empty_graph(spark):
+    from large_scale_hypertextual_search_engine_spark.operators.linkrank import hits
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert hits(df, n_iter=2).collect() == []
