@@ -197,10 +197,10 @@ def test_ivfpq_full_probe_refine_equals_exact(spark, emb, ivfpq):
 
 
 def test_ivfpq_recall_beats_flat_pq_or_close(spark, emb, trained, ivfpq):
-    """Residual PQ within probed cells: refined recall@10 >= 0.8 over
-    10 queries (probing half the cells), and pure-ADC recall is
-    reported sane (>= 0.4 — residual quantization on near-isotropic
-    data, half the corpus probed)."""
+    """Residual PQ: refined recall@10 >= 0.8 over 10 queries (all 8
+    cells probed, so this isolates quantization quality from probe
+    misses), and pure-ADC recall >= 0.4 (residual quantization on
+    near-isotropic data)."""
     from large_scale_hypertextual_search_engine_spark.operators.pq import ivfpq_topk
 
     path, C, cb = ivfpq
