@@ -421,6 +421,28 @@ def q_ft_facets(spark, sf_dir):
     )
 
 
+def q_ft_collapse(spark, sf_dir):
+    """Field collapse (Lucene grouping / Solr group=true): top-2 hits
+    per lang over the ft_bm25_and match set, groups ranked by their
+    best hit — heads via a skew-immune max(struct) aggregate, the
+    within-group window only over the k surviving groups."""
+    from large_scale_hypertextual_search_engine_spark.operators.collapse import (
+        search_collapse,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("docid"), "lang"
+    )
+    res = search_collapse(
+        _index(spark, sf_dir), ["spark", "join"], docs, "lang",
+        top_k=5, group_top_n=2, mode="and",
+    )
+    return res.select(
+        "group_value", "group_rank", "docid", "hit_rank",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_ft_ql(spark, sf_dir):
     """Dirichlet query-likelihood ranking (Zhai & Lafferty 2001,
     mu=2000): the standard LM alternative to BM25, over the same
@@ -1576,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_top": q_pagerank,
         "hits_top": q_hits,
         "ft_facets": q_ft_facets,
+        "ft_collapse": q_ft_collapse,
         "ft_merged": q_ft_merged,
         "ft_bm25f": q_ft_bm25f,
         "ft_boolean_fielded": q_ft_boolean_fielded,
@@ -2698,6 +2721,53 @@ ranked AS (
   FROM counts
 )
 SELECT facet, value, n_docs, rank FROM ranked WHERE rank <= 5""",
+        "ft_collapse": f"""
+WITH {_TOKS},{_DL_STATS},
+tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ('spark', 'join') GROUP BY docid, term),
+dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
+cand AS (SELECT docid FROM tfs GROUP BY docid
+         HAVING COUNT(DISTINCT term) = (SELECT COUNT(*) FROM dfs)),
+scored AS (
+  SELECT t.docid,
+         SUM( ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+            * (((1.5 + 1.0) * t.tf) /
+               (1.5 * (1.0 - 0.75 + 0.75 * (l.doc_len / s.avg_dl)) + t.tf)) ) AS score
+  FROM tfs t
+  JOIN cand c ON c.docid = t.docid
+  JOIN dfs f ON f.term = t.term
+  JOIN dl l ON l.docid = t.docid
+  CROSS JOIN stats s
+  GROUP BY t.docid
+),
+grp AS (
+  SELECT s.docid, s.score,
+         COALESCE(d.lang, '(none)') AS group_value
+  FROM scored s
+  JOIN (SELECT CAST(doc_id AS VARCHAR) AS docid, lang FROM documents) d
+    USING (docid)
+),
+hits AS (
+  SELECT group_value, docid, score,
+         CAST(row_number() OVER (
+           PARTITION BY group_value ORDER BY score DESC, docid ASC
+         ) AS INT) AS hit_rank
+  FROM grp
+),
+topg AS (
+  SELECT group_value, score AS head_score,
+         CAST(row_number() OVER (
+           ORDER BY score DESC, group_value ASC
+         ) AS INT) AS group_rank
+  FROM hits WHERE hit_rank = 1
+  ORDER BY score DESC, group_value ASC
+  LIMIT 5
+)
+SELECT h.group_value, t.group_rank, h.docid, h.hit_rank,
+       round(h.score, 6) AS score
+FROM topg t
+JOIN hits h ON h.group_value = t.group_value AND h.hit_rank <= 2
+ORDER BY t.group_rank, h.hit_rank""",
         "boolean_batch": f"""
 SELECT CAST(1 AS INTEGER) AS query_id, * FROM (
 {_boolean_true_sql(["merge", "spark"], ["join"])}

@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # dump a Python traceback when a worker dies mid-task (segfault /
+        # oom-kill); free in normal operation, and turns an opaque
+        # "Python worker exited unexpectedly (EOFException)" into a
+        # diagnosable fault (one such crash ate a measured scaling level)
+        .config("spark.python.worker.faulthandler.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
