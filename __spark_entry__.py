@@ -443,6 +443,51 @@ def q_ft_collapse(spark, sf_dir):
     )
 
 
+def q_ft_search_after(spark, sf_dir):
+    """Keyset deep pagination (Elasticsearch search_after): page 2 of
+    the ft_bm25_or ranking via a (score, doc_int) cursor filter +
+    TakeOrderedAndProject — page N never sorts more than the
+    post-cursor remainder, and no OFFSET materializes pages 1..N-1."""
+    from large_scale_hypertextual_search_engine_spark.operators.pagination import (
+        search_after,
+    )
+
+    idx = _index(spark, sf_dir)
+    page1 = search_after(
+        idx, ["merge", "window"], page_size=10, mode="or"
+    ).collect()
+    cursor = (page1[-1]["score"], page1[-1]["doc_int"])
+    res = search_after(
+        idx, ["merge", "window"], cursor=cursor, page_size=10, mode="or"
+    )
+    return res.select(
+        "rank", "docid", F.round("score", 6).alias("score")
+    )
+
+
+def q_ft_sorted(spark, sf_dir):
+    """Field-sorted retrieval: the ft_bm25_and match set ordered by the
+    n_chars metadata column (desc, relevance tiebreak) — one
+    doc_int-keyed metadata join, the sort a distributed
+    TakeOrderedAndProject, never a full-order window."""
+    from large_scale_hypertextual_search_engine_spark.operators.pagination import (
+        search_sorted,
+    )
+
+    meta = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("docid"), "n_chars"
+    )
+    res = search_sorted(
+        _index(spark, sf_dir), ["spark", "join"], meta, "n_chars",
+        ascending=False, top_k=10, mode="and",
+    )
+    return res.select(
+        "rank", "docid",
+        F.col("sort_value").cast("bigint").alias("sort_value"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_ft_ql(spark, sf_dir):
     """Dirichlet query-likelihood ranking (Zhai & Lafferty 2001,
     mu=2000): the standard LM alternative to BM25, over the same
@@ -1599,6 +1644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_top": q_hits,
         "ft_facets": q_ft_facets,
         "ft_collapse": q_ft_collapse,
+        "ft_search_after": q_ft_search_after,
+        "ft_sorted": q_ft_sorted,
         "ft_merged": q_ft_merged,
         "ft_bm25f": q_ft_bm25f,
         "ft_boolean_fielded": q_ft_boolean_fielded,
@@ -2768,6 +2815,64 @@ SELECT h.group_value, t.group_rank, h.docid, h.hit_rank,
 FROM topg t
 JOIN hits h ON h.group_value = t.group_value AND h.hit_rank <= 2
 ORDER BY t.group_rank, h.hit_rank""",
+        # keyset pagination: the oracle IS the funnel formulation
+        # (row_number BETWEEN) the operator exists to avoid
+        "ft_search_after": f"""
+WITH {_TOKS},{_DL_STATS},
+tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ('merge', 'window') GROUP BY docid, term),
+dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
+scored AS (
+  SELECT t.docid,
+         SUM( ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+            * (((1.5 + 1.0) * t.tf) /
+               (1.5 * (1.0 - 0.75 + 0.75 * (l.doc_len / s.avg_dl)) + t.tf)) ) AS score
+  FROM tfs t
+  JOIN dfs f ON f.term = t.term
+  JOIN dl l ON l.docid = t.docid
+  CROSS JOIN stats s
+  GROUP BY t.docid
+),
+ranked AS (
+  SELECT docid, score,
+         row_number() OVER (ORDER BY score DESC, docid ASC) AS rn
+  FROM scored
+)
+SELECT CAST(rn - 10 AS INT) AS rank, docid, round(score, 6) AS score
+FROM ranked WHERE rn BETWEEN 11 AND 20 ORDER BY rn""",
+        "ft_sorted": f"""
+WITH {_TOKS},{_DL_STATS},
+tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ('spark', 'join') GROUP BY docid, term),
+dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
+cand AS (SELECT docid FROM tfs GROUP BY docid
+         HAVING COUNT(DISTINCT term) = (SELECT COUNT(*) FROM dfs)),
+scored AS (
+  SELECT t.docid,
+         SUM( ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+            * (((1.5 + 1.0) * t.tf) /
+               (1.5 * (1.0 - 0.75 + 0.75 * (l.doc_len / s.avg_dl)) + t.tf)) ) AS score
+  FROM tfs t
+  JOIN cand c ON c.docid = t.docid
+  JOIN dfs f ON f.term = t.term
+  JOIN dl l ON l.docid = t.docid
+  CROSS JOIN stats s
+  GROUP BY t.docid
+),
+joined AS (
+  SELECT s.docid, s.score, d.n_chars
+  FROM scored s
+  JOIN (SELECT CAST(doc_id AS VARCHAR) AS docid, n_chars FROM documents) d
+    USING (docid)
+)
+SELECT CAST(row_number() OVER (
+         ORDER BY n_chars DESC, score DESC, docid ASC
+       ) AS INT) AS rank,
+       docid, CAST(n_chars AS BIGINT) AS sort_value,
+       round(score, 6) AS score
+FROM joined
+ORDER BY n_chars DESC, score DESC, docid ASC
+LIMIT 10""",
         "boolean_batch": f"""
 SELECT CAST(1 AS INTEGER) AS query_id, * FROM (
 {_boolean_true_sql(["merge", "spark"], ["join"])}
