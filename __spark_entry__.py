@@ -488,6 +488,27 @@ def q_ft_sorted(spark, sf_dir):
     )
 
 
+def q_ft_sigterms(spark, sf_dir):
+    """Significant terms (Elasticsearch significant_terms, Dunning G²):
+    terms over-represented in the ft_bm25_and match set vs the corpus —
+    candidates pruned on lexicon df metadata BEFORE any posting decode,
+    one fg join + map-side-combining agg, G² as pure codegen."""
+    from large_scale_hypertextual_search_engine_spark.operators.sigterms import (
+        significant_terms,
+    )
+
+    res = significant_terms(
+        _index(spark, sf_dir), ["spark", "join"], top_n=10, min_df=2,
+        max_df_frac=0.5, mode="and",
+    )
+    return res.select(
+        "term",
+        F.col("fg_count").cast("bigint").alias("fg_count"),
+        F.col("bg_count").cast("bigint").alias("bg_count"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_ft_ql(spark, sf_dir):
     """Dirichlet query-likelihood ranking (Zhai & Lafferty 2001,
     mu=2000): the standard LM alternative to BM25, over the same
@@ -1645,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facets": q_ft_facets,
         "ft_collapse": q_ft_collapse,
         "ft_search_after": q_ft_search_after,
+        "ft_sigterms": q_ft_sigterms,
         "ft_sorted": q_ft_sorted,
         "ft_merged": q_ft_merged,
         "ft_bm25f": q_ft_bm25f,
@@ -2815,6 +2837,43 @@ SELECT h.group_value, t.group_rank, h.docid, h.hit_rank,
 FROM topg t
 JOIN hits h ON h.group_value = t.group_value AND h.hit_rank <= 2
 ORDER BY t.group_rank, h.hit_rank""",
+        "ft_sigterms": f"""
+WITH {_TOKS},
+fg AS (SELECT docid FROM toks WHERE term IN ('spark', 'join')
+       GROUP BY docid HAVING COUNT(DISTINCT term) = 2),
+fgn AS (SELECT COUNT(*) AS fg_n FROM fg),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+dfs AS (SELECT term, COUNT(DISTINCT docid) AS bg FROM toks GROUP BY term),
+fgc AS (SELECT t.term, COUNT(DISTINCT t.docid) AS fg_count
+        FROM toks t JOIN fg USING (docid) GROUP BY t.term),
+cells AS (
+  SELECT d.term,
+         CAST(c.fg_count AS DOUBLE) AS k11,
+         CAST(d.bg - c.fg_count AS DOUBLE) AS k12,
+         CAST(f.fg_n - c.fg_count AS DOUBLE) AS k21,
+         CAST(n.n - d.bg - f.fg_n + c.fg_count AS DOUBLE) AS k22,
+         CAST(n.n AS DOUBLE) AS nd,
+         c.fg_count, d.bg, f.fg_n
+  FROM dfs d
+  JOIN fgc c USING (term)
+  CROSS JOIN fgn f CROSS JOIN nn n
+  WHERE d.bg >= 2 AND d.bg <= CAST(floor(0.5 * n.n) AS BIGINT)
+    AND d.term NOT IN ('spark', 'join')
+),
+scored AS (
+  SELECT term, fg_count, bg, fg_n, nd,
+         2.0 * (
+           CASE WHEN k11 > 0 THEN k11 * ln(k11 / ((k11+k12)*(k11+k21)/nd)) ELSE 0 END
+         + CASE WHEN k12 > 0 THEN k12 * ln(k12 / ((k11+k12)*(k12+k22)/nd)) ELSE 0 END
+         + CASE WHEN k21 > 0 THEN k21 * ln(k21 / ((k21+k22)*(k11+k21)/nd)) ELSE 0 END
+         + CASE WHEN k22 > 0 THEN k22 * ln(k22 / ((k21+k22)*(k12+k22)/nd)) ELSE 0 END
+         ) AS score
+  FROM cells
+  WHERE k11 / fg_n > bg / nd
+)
+SELECT term, CAST(fg_count AS BIGINT) AS fg_count,
+       CAST(bg AS BIGINT) AS bg_count, round(score, 6) AS score
+FROM scored ORDER BY score DESC, term ASC LIMIT 10""",
         # keyset pagination: the oracle IS the funnel formulation
         # (row_number BETWEEN) the operator exists to avoid
         "ft_search_after": f"""

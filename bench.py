@@ -239,6 +239,28 @@ def main() -> None:
         idx, ["spark", "join"], docs_meta, ["lang", "source"], top_n=5
     ).count()
     extra["facets_s"] = round(time.time() - t0, 3)
+
+    # round-5: field collapse (top-2 per lang) and keyset page-2 over
+    # the same match set — both ride match_docs, no rank-window funnel
+    from large_scale_hypertextual_search_engine_spark.operators.collapse import (
+        search_collapse,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.pagination import (
+        search_after,
+    )
+
+    t0 = time.time()
+    search_collapse(
+        idx, ["spark", "join"], docs_meta, "lang", top_k=5, group_top_n=2
+    ).count()
+    extra["collapse_s"] = round(time.time() - t0, 3)
+    p1 = search_after(idx, ["spark", "join"], page_size=10).collect()
+    t0 = time.time()
+    search_after(
+        idx, ["spark", "join"],
+        cursor=(p1[-1]["score"], p1[-1]["doc_int"]), page_size=10,
+    ).count()
+    extra["search_after_page2_s"] = round(time.time() - t0, 3)
     t0 = time.time()
     fuzzy_candidates(idx, "sprak", max_dist=2, top_n=5).count()
     extra["fuzzy_s"] = round(time.time() - t0, 3)
