@@ -509,6 +509,53 @@ def q_ft_sigterms(spark, sf_dir):
     )
 
 
+def q_ft_histogram(spark, sf_dir):
+    """Numeric histogram facet (Elasticsearch histogram agg): n_chars
+    distribution of the ft_bm25_and match set at interval 250 — one
+    map-side-combining aggregation, codegen bucketing."""
+    from large_scale_hypertextual_search_engine_spark.operators.facets import (
+        histogram_facet,
+    )
+
+    meta = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("docid"), "n_chars"
+    )
+    res = histogram_facet(
+        _index(spark, sf_dir), ["spark", "join"], meta, "n_chars", 250,
+        mode="and",
+    )
+    return res.select(
+        F.col("bucket_start").cast("double").alias("bucket_start"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+def q_ft_range_facet(spark, sf_dir):
+    """Range facet (Elasticsearch range agg): fixed half-open n_chars
+    report over the ft_bm25_and match set, zero-filled tails."""
+    from large_scale_hypertextual_search_engine_spark.operators.facets import (
+        range_facet,
+    )
+
+    meta = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("docid"), "n_chars"
+    )
+    res = range_facet(
+        _index(spark, sf_dir), ["spark", "join"], meta, "n_chars",
+        [0.0, 400.0, 800.0], mode="and",
+    )
+    # open ends as the ES-style "*" key (NULL bounds would break the
+    # driver's mixed-type row sort)
+    return res.select(
+        F.concat(
+            F.coalesce(F.col("range_lo").cast("string"), F.lit("*")),
+            F.lit(".."),
+            F.coalesce(F.col("range_hi").cast("string"), F.lit("*")),
+        ).alias("range_key"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
 def q_ft_ql(spark, sf_dir):
     """Dirichlet query-likelihood ranking (Zhai & Lafferty 2001,
     mu=2000): the standard LM alternative to BM25, over the same
@@ -1667,6 +1714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_collapse": q_ft_collapse,
         "ft_search_after": q_ft_search_after,
         "ft_sigterms": q_ft_sigterms,
+        "ft_histogram": q_ft_histogram,
+        "ft_range_facet": q_ft_range_facet,
         "ft_sorted": q_ft_sorted,
         "ft_merged": q_ft_merged,
         "ft_bm25f": q_ft_bm25f,
@@ -2837,6 +2886,43 @@ SELECT h.group_value, t.group_rank, h.docid, h.hit_rank,
 FROM topg t
 JOIN hits h ON h.group_value = t.group_value AND h.hit_rank <= 2
 ORDER BY t.group_rank, h.hit_rank""",
+        "ft_histogram": f"""
+WITH {_TOKS},
+cand AS (SELECT docid FROM toks WHERE term IN ('spark', 'join')
+         GROUP BY docid HAVING COUNT(DISTINCT term) = 2),
+vals AS (
+  SELECT CAST(d.n_chars AS DOUBLE) AS v
+  FROM documents d
+  JOIN cand c ON c.docid = CAST(d.doc_id AS VARCHAR)
+  WHERE d.n_chars IS NOT NULL
+)
+SELECT floor(v / 250.0) * 250.0 AS bucket_start,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM vals GROUP BY 1 ORDER BY 1""",
+        "ft_range_facet": f"""
+WITH {_TOKS},
+cand AS (SELECT docid FROM toks WHERE term IN ('spark', 'join')
+         GROUP BY docid HAVING COUNT(DISTINCT term) = 2),
+vals AS (
+  SELECT CAST(d.n_chars AS DOUBLE) AS v
+  FROM documents d
+  JOIN cand c ON c.docid = CAST(d.doc_id AS VARCHAR)
+  WHERE d.n_chars IS NOT NULL
+),
+ranges(range_lo, range_hi) AS (VALUES
+  (CAST(NULL AS DOUBLE), 0.0),
+  (0.0, 400.0),
+  (400.0, 800.0),
+  (800.0, CAST(NULL AS DOUBLE))
+)
+SELECT COALESCE(CAST(r.range_lo AS VARCHAR), '*') || '..'
+       || COALESCE(CAST(r.range_hi AS VARCHAR), '*') AS range_key,
+       CAST(COUNT(v.v) AS BIGINT) AS n_docs
+FROM ranges r
+LEFT JOIN vals v
+  ON (r.range_lo IS NULL OR v.v >= r.range_lo)
+ AND (r.range_hi IS NULL OR v.v < r.range_hi)
+GROUP BY r.range_lo, r.range_hi""",
         "ft_sigterms": f"""
 WITH {_TOKS},
 fg AS (SELECT docid FROM toks WHERE term IN ('spark', 'join')

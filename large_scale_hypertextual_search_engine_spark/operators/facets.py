@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.bm25 import B, K1
 
-__all__ = ["search_facets"]
+__all__ = ["search_facets", "histogram_facet", "range_facet"]
 
 
 def search_facets(
@@ -94,4 +94,128 @@ def search_facets(
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_n)
         .select("facet", "value", "n_docs", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _match_values(
+    index: dict[str, DataFrame],
+    terms: list[str],
+    values: DataFrame,
+    value_col: str,
+    mode: str,
+    tf_mode: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Match set joined to one numeric metadata column -> (doc_int,
+    value). Shared by the histogram and range facets; docs with NULL
+    metadata are dropped (the Elasticsearch default for numeric aggs —
+    unlike the string facets' "(none)" bucket, a NULL has no place on
+    a number line)."""
+    from .query import match_docs
+
+    if "doc_int" not in values.columns:
+        values = values.withColumn(
+            "docid", F.col("docid").cast("string")
+        ).join(index["docid_map"], "docid")
+    hits = match_docs(
+        index, terms, mode=mode, tf_mode=tf_mode, k1=k1, b=b
+    ).select("doc_int")
+    return (
+        hits.join(
+            values.select(
+                "doc_int", F.col(value_col).cast("double").alias("value")
+            ),
+            "doc_int",
+        )
+        .filter(F.col("value").isNotNull())
+    )
+
+
+def histogram_facet(
+    index: dict[str, DataFrame],
+    terms: list[str],
+    values: DataFrame,
+    value_col: str,
+    interval: float,
+    mode: str = "and",
+    tf_mode: str = "true",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Elasticsearch ``histogram`` agg over the match set ->
+    (bucket_start, n_docs), bucket_start = floor(value/interval)·
+    interval, empty buckets omitted, ascending. ONE map-side-combining
+    aggregation shuffle over the match set; the bucketing expression
+    is codegen, a degenerate distribution degrades to one bucket row
+    per partition pre-combine, never a hot-key sort."""
+    if interval <= 0:
+        raise ValueError("interval must be positive")
+    g = _match_values(index, terms, values, value_col, mode, tf_mode, k1, b)
+    return (
+        g.withColumn(
+            "bucket_start",
+            F.floor(F.col("value") / F.lit(float(interval)))
+            * F.lit(float(interval)),
+        )
+        .groupBy("bucket_start")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket_start")
+    )
+
+
+def range_facet(
+    index: dict[str, DataFrame],
+    terms: list[str],
+    values: DataFrame,
+    value_col: str,
+    edges: list[float],
+    mode: str = "and",
+    tf_mode: str = "true",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Elasticsearch ``range`` agg: explicit half-open buckets
+    [e0,e1), [e1,e2), ... plus the open tails (-inf,e0) and
+    [e_last,+inf) -> (range_lo, range_hi, n_docs) with NULL for the
+    open ends; ALL ranges emitted (zero counts included — a range agg
+    is a fixed report shape, unlike a histogram). The bucket lookup is
+    one codegen CASE chain; the zero-fill joins the tiny static range
+    frame against the aggregated counts, never the match set."""
+    if sorted(edges) != list(edges) or len(set(edges)) != len(edges):
+        raise ValueError("edges must be strictly ascending")
+    if not edges:
+        raise ValueError("edges must be non-empty")
+    g = _match_values(index, terms, values, value_col, mode, tf_mode, k1, b)
+    ex = [float(e) for e in edges]
+    bounds = (
+        [(None, ex[0])]
+        + [(ex[i], ex[i + 1]) for i in range(len(ex) - 1)]
+        + [(ex[-1], None)]
+    )
+    bucket = F.when(F.col("value") < ex[0], F.lit(0))
+    for i in range(1, len(ex)):
+        bucket = bucket.when(F.col("value") < ex[i], F.lit(i))
+    bucket = bucket.otherwise(F.lit(len(ex)))
+    counts = (
+        g.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    spark = values.sparkSession
+    ranges = spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in enumerate(bounds)],
+        "bucket int, range_lo double, range_hi double",
+    )
+    return (
+        F.broadcast(ranges)
+        .join(counts, "bucket", "left")
+        .select(
+            "range_lo",
+            "range_hi",
+            F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"),
+            "bucket",
+        )
+        .orderBy("bucket")
+        .drop("bucket")
     )
