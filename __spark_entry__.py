@@ -556,6 +556,34 @@ def q_ft_range_facet(spark, sf_dir):
     )
 
 
+def q_ltr_features(spark, sf_dir):
+    """LTR feature export: the full (query, doc) candidate feature
+    block for a 2-query batch — one decode, one query_id exchange, the
+    bm25 feature bit-identical to serving scores."""
+    from large_scale_hypertextual_search_engine_spark.operators.ltr import (
+        ltr_features,
+    )
+
+    qdf = spark.createDataFrame(
+        [(1, "spark"), (1, "join"), (2, "merge"), (2, "window"),
+         (2, "zzz_oov")],
+        "query_id long, term string",
+    )
+    res = ltr_features(_index(spark, sf_dir), qdf)
+    return res.select(
+        "query_id", "docid",
+        F.round("bm25", 6).alias("bm25"),
+        F.round("bm25_max", 6).alias("bm25_max"),
+        F.round("bm25_min", 6).alias("bm25_min"),
+        F.col("tf_sum").cast("bigint").alias("tf_sum"),
+        F.round("idf_sum", 6).alias("idf_sum"),
+        F.col("n_matched").cast("bigint").alias("n_matched"),
+        F.col("n_terms").cast("bigint").alias("n_terms"),
+        F.round("match_ratio", 6).alias("match_ratio"),
+        F.col("doc_len").cast("double").alias("doc_len"),
+    )
+
+
 def q_ft_ql(spark, sf_dir):
     """Dirichlet query-likelihood ranking (Zhai & Lafferty 2001,
     mu=2000): the standard LM alternative to BM25, over the same
@@ -1716,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sigterms": q_ft_sigterms,
         "ft_histogram": q_ft_histogram,
         "ft_range_facet": q_ft_range_facet,
+        "ltr_features": q_ltr_features,
         "ft_sorted": q_ft_sorted,
         "ft_merged": q_ft_merged,
         "ft_bm25f": q_ft_bm25f,
@@ -2886,6 +2915,49 @@ SELECT h.group_value, t.group_rank, h.docid, h.hit_rank,
 FROM topg t
 JOIN hits h ON h.group_value = t.group_value AND h.hit_rank <= 2
 ORDER BY t.group_rank, h.hit_rank""",
+        "ltr_features": f"""
+WITH {_TOKS},{_DL_STATS},
+q(query_id, term) AS (VALUES (1, 'spark'), (1, 'join'), (2, 'merge'),
+                             (2, 'window'), (2, 'zzz_oov')),
+tfs AS (SELECT docid, term, COUNT(*) AS tf FROM toks GROUP BY docid, term),
+dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
+nt AS (SELECT query_id, COUNT(DISTINCT term) AS n_terms FROM q GROUP BY query_id),
+cand AS (
+  SELECT q.query_id, t.docid, t.tf,
+         ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) AS idf,
+         ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           * (((1.5 + 1.0) * t.tf) /
+              (1.5 * (1.0 - 0.75 + 0.75 * (l.doc_len / s.avg_dl)) + t.tf))
+           AS term_score,
+         l.doc_len
+  FROM q
+  JOIN tfs t ON t.term = q.term
+  JOIN dfs f ON f.term = q.term
+  JOIN dl l ON l.docid = t.docid
+  CROSS JOIN stats s
+),
+per AS (
+  SELECT query_id, docid,
+         SUM(term_score) AS bm25,
+         MAX(term_score) AS bm25_max,
+         MIN(term_score) AS bm25_min,
+         CAST(SUM(tf) AS BIGINT) AS tf_sum,
+         SUM(idf) AS idf_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_matched,
+         CAST(MAX(doc_len) AS DOUBLE) AS doc_len
+  FROM cand GROUP BY query_id, docid
+)
+SELECT CAST(p.query_id AS BIGINT) AS query_id, p.docid,
+       round(p.bm25, 6) AS bm25,
+       round(p.bm25_max, 6) AS bm25_max,
+       round(p.bm25_min, 6) AS bm25_min,
+       p.tf_sum,
+       round(p.idf_sum, 6) AS idf_sum,
+       p.n_matched,
+       CAST(n.n_terms AS BIGINT) AS n_terms,
+       round(p.n_matched * 1.0 / n.n_terms, 6) AS match_ratio,
+       p.doc_len
+FROM per p JOIN nt n USING (query_id)""",
         "ft_histogram": f"""
 WITH {_TOKS},
 cand AS (SELECT docid FROM toks WHERE term IN ('spark', 'join')
