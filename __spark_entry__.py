@@ -584,6 +584,31 @@ def q_ltr_features(spark, sf_dir):
     )
 
 
+def q_ft_stats_facet(spark, sf_dir):
+    """Extended-stats agg (Elasticsearch stats): one global aggregate
+    row over the match set's n_chars — six scalars per partition cross
+    the wire, nothing else."""
+    from large_scale_hypertextual_search_engine_spark.operators.facets import (
+        stats_facet,
+    )
+
+    meta = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("docid"), "n_chars"
+    )
+    res = stats_facet(
+        _index(spark, sf_dir), ["spark", "join"], meta, "n_chars",
+        mode="and",
+    )
+    return res.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("min").cast("double").alias("min"),
+        F.col("max").cast("double").alias("max"),
+        F.round("sum", 6).alias("sum"),
+        F.round("avg", 6).alias("avg"),
+        F.round("std", 6).alias("std"),
+    )
+
+
 def q_ft_ql(spark, sf_dir):
     """Dirichlet query-likelihood ranking (Zhai & Lafferty 2001,
     mu=2000): the standard LM alternative to BM25, over the same
@@ -1743,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_search_after": q_ft_search_after,
         "ft_sigterms": q_ft_sigterms,
         "ft_histogram": q_ft_histogram,
+        "ft_stats_facet": q_ft_stats_facet,
         "ft_range_facet": q_ft_range_facet,
         "ltr_features": q_ltr_features,
         "ft_sorted": q_ft_sorted,
@@ -2958,6 +2984,22 @@ SELECT CAST(p.query_id AS BIGINT) AS query_id, p.docid,
        round(p.n_matched * 1.0 / n.n_terms, 6) AS match_ratio,
        p.doc_len
 FROM per p JOIN nt n USING (query_id)""",
+        "ft_stats_facet": f"""
+WITH {_TOKS},
+cand AS (SELECT docid FROM toks WHERE term IN ('spark', 'join')
+         GROUP BY docid HAVING COUNT(DISTINCT term) = 2),
+vals AS (
+  SELECT CAST(d.n_chars AS DOUBLE) AS v
+  FROM documents d
+  JOIN cand c ON c.docid = CAST(d.doc_id AS VARCHAR)
+  WHERE d.n_chars IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(v) AS min, MAX(v) AS max,
+       round(SUM(v), 6) AS sum,
+       round(AVG(v), 6) AS avg,
+       round(stddev_samp(v), 6) AS std
+FROM vals""",
         "ft_histogram": f"""
 WITH {_TOKS},
 cand AS (SELECT docid FROM toks WHERE term IN ('spark', 'join')

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.bm25 import B, K1
 
-__all__ = ["search_facets", "histogram_facet", "range_facet"]
+__all__ = ["search_facets", "histogram_facet", "range_facet", "stats_facet"]
 
 
 def search_facets(
@@ -218,4 +218,31 @@ def range_facet(
         )
         .orderBy("bucket")
         .drop("bucket")
+    )
+
+
+def stats_facet(
+    index: dict[str, DataFrame],
+    terms: list[str],
+    values: DataFrame,
+    value_col: str,
+    mode: str = "and",
+    tf_mode: str = "true",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Elasticsearch ``stats``/``extended_stats`` agg: ONE row
+    (n_docs, min, max, sum, avg, std) of a numeric metadata column
+    over the match set (std = sample standard deviation, NULL when
+    n < 2). NULL metadata drops like the other numeric aggs. The
+    whole statistic is one map-side-combining global aggregate — six
+    scalars cross the wire per partition, nothing else."""
+    g = _match_values(index, terms, values, value_col, mode, tf_mode, k1, b)
+    return g.agg(
+        F.count("*").alias("n_docs"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+        F.sum("value").alias("sum"),
+        F.avg("value").alias("avg"),
+        F.stddev_samp("value").alias("std"),
     )

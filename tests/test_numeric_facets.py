@@ -112,3 +112,34 @@ def test_validation(nf_index, corpus):
         range_facet(nf_index, ["spark"], meta, "n_chars", [3.0, 1.0])
     with pytest.raises(ValueError):
         range_facet(nf_index, ["spark"], meta, "n_chars", [])
+
+
+def test_stats_facet_bruteforce(spark, corpus, nf_index):
+    import statistics
+
+    from large_scale_hypertextual_search_engine_spark.operators.facets import (
+        stats_facet,
+    )
+
+    vals = _match_vals(corpus, ["spark", "join"])
+    r = stats_facet(
+        nf_index, ["spark", "join"],
+        corpus.select("docid", "n_chars"), "n_chars",
+    ).collect()[0]
+    assert r["n_docs"] == len(vals)
+    assert r["min"] == min(vals) and r["max"] == max(vals)
+    assert r["sum"] == pytest.approx(sum(vals))
+    assert r["avg"] == pytest.approx(sum(vals) / len(vals))
+    assert r["std"] == pytest.approx(statistics.stdev(vals), rel=1e-9)
+
+
+def test_stats_facet_empty_match(spark, corpus, nf_index):
+    from large_scale_hypertextual_search_engine_spark.operators.facets import (
+        stats_facet,
+    )
+
+    r = stats_facet(
+        nf_index, ["zzz_not_a_term"],
+        corpus.select("docid", "n_chars"), "n_chars",
+    ).collect()[0]
+    assert r["n_docs"] == 0 and r["min"] is None and r["std"] is None
