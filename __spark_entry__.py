@@ -609,6 +609,27 @@ def q_ft_stats_facet(spark, sf_dir):
     )
 
 
+def q_ft_facets_boolean(spark, sf_dir):
+    """Composition: facet counts over a BOOLEAN query's match set —
+    boolean_match_docs feeds search_facets directly (every match-set
+    consumer accepts a pre-computed match frame)."""
+    from large_scale_hypertextual_search_engine_spark.operators.boolsearch import (
+        boolean_match_docs,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.facets import (
+        search_facets,
+    )
+
+    idx = _index(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("docid"), "lang"
+    )
+    return search_facets(
+        idx, boolean_match_docs(idx, "(merge OR spark) AND NOT join"),
+        docs, ["lang"], top_n=5,
+    )
+
+
 def q_ft_ql(spark, sf_dir):
     """Dirichlet query-likelihood ranking (Zhai & Lafferty 2001,
     mu=2000): the standard LM alternative to BM25, over the same
@@ -1769,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sigterms": q_ft_sigterms,
         "ft_histogram": q_ft_histogram,
         "ft_stats_facet": q_ft_stats_facet,
+        "ft_facets_boolean": q_ft_facets_boolean,
         "ft_range_facet": q_ft_range_facet,
         "ltr_features": q_ltr_features,
         "ft_sorted": q_ft_sorted,
@@ -2984,6 +3006,27 @@ SELECT CAST(p.query_id AS BIGINT) AS query_id, p.docid,
        round(p.n_matched * 1.0 / n.n_terms, 6) AS match_ratio,
        p.doc_len
 FROM per p JOIN nt n USING (query_id)""",
+        "ft_facets_boolean": f"""
+WITH {_TOKS},
+pos AS (SELECT DISTINCT docid FROM toks WHERE term IN ('merge', 'spark')),
+neg AS (SELECT DISTINCT docid FROM toks WHERE term = 'join'),
+cand AS (SELECT docid FROM pos
+         WHERE docid NOT IN (SELECT docid FROM neg)),
+meta AS (SELECT CAST(doc_id AS VARCHAR) AS docid, lang FROM documents),
+counts AS (
+  SELECT 'lang' AS facet, COALESCE(lang, '(none)') AS value,
+         COUNT(*) AS n_docs
+  FROM meta JOIN cand USING (docid)
+  GROUP BY 2
+),
+ranked AS (
+  SELECT facet, value, n_docs,
+         CAST(row_number() OVER (
+           ORDER BY n_docs DESC, value ASC
+         ) AS INT) AS rank
+  FROM counts
+)
+SELECT facet, value, n_docs, rank FROM ranked WHERE rank <= 5""",
         "ft_stats_facet": f"""
 WITH {_TOKS},
 cand AS (SELECT docid FROM toks WHERE term IN ('spark', 'join')

@@ -590,24 +590,27 @@ def _slot_rows(leaf, lid: int) -> list[tuple]:
 # ----------------------------------------------------------- evaluator
 
 
-def boolean_search(
+def boolean_match_docs(
     index: dict[str, DataFrame],
     query: str | Node,
-    top_k: int = 10,
     tf_mode: str = "true",
     k1: float = K1,
     b: float = B,
     analyze=None,
     max_expansions: int = 64,
 ) -> DataFrame:
-    """Evaluate a boolean query -> (rank, doc_int, docid, score).
+    """Scored FULL match set of a boolean query -> (doc_int, score)
+    with NO rank window — the boolean analog of ``query.match_docs``.
 
-    ``query`` is a raw string (parsed with :func:`parse_query`) or a
-    pre-built AST node. See module docstring for match/score semantics
-    and the single-decode / single-shuffle plan shape. Wildcard leaves
-    (``te*`` / ``t?st``) are expanded against the lexicon up front
-    (:func:`expand_wildcards`, one metadata-scale job), so the
-    evaluator itself only ever sees concrete terms.
+    Because every match-set consumer (``search_facets``,
+    ``search_collapse``, ``significant_terms``, the numeric aggs,
+    ``search_after``/``search_sorted``) accepts a pre-computed match
+    frame in place of its term list, this is the composition point:
+    "facet counts for ``(spark OR merge) AND NOT join``" is
+    ``search_facets(idx, boolean_match_docs(idx, q), ...)``. Same
+    single-decode / single-doc_int-exchange plan as
+    :func:`boolean_search`, which is this plus the distributed
+    top-k tail.
     """
     node = parse_query(query, analyze) if isinstance(query, str) else query
     node = expand_wildcards(node, index["lexicon"], max_expansions)
@@ -720,6 +723,36 @@ def boolean_search(
             F.lit(0.0),
             lambda acc, x: acc + x,
         ),
+    )
+    return matched_docs.select("doc_int", "score")
+
+
+def boolean_search(
+    index: dict[str, DataFrame],
+    query: str | Node,
+    top_k: int = 10,
+    tf_mode: str = "true",
+    k1: float = K1,
+    b: float = B,
+    analyze=None,
+    max_expansions: int = 64,
+) -> DataFrame:
+    """Evaluate a boolean query -> (rank, doc_int, docid, score).
+
+    ``query`` is a raw string (parsed with :func:`parse_query`) or a
+    pre-built AST node. See module docstring for match/score semantics
+    and the single-decode / single-shuffle plan shape. Wildcard leaves
+    (``te*`` / ``t?st``) are expanded against the lexicon up front
+    (:func:`expand_wildcards`, one metadata-scale job), so the
+    evaluator itself only ever sees concrete terms.
+
+    :func:`boolean_match_docs` (the match set, no rank window) plus a
+    distributed ``orderBy().limit(k)`` — only the k survivors see the
+    rank-numbering window.
+    """
+    matched_docs = boolean_match_docs(
+        index, query, tf_mode=tf_mode, k1=k1, b=b, analyze=analyze,
+        max_expansions=max_expansions,
     )
     w = Window.orderBy(F.desc("score"), F.asc("doc_int"))
     topk = (

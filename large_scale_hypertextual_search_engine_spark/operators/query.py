@@ -258,7 +258,7 @@ def search_batch(
 
 def match_docs(
     index: dict[str, DataFrame],
-    terms: list[str],
+    terms: list[str] | DataFrame,
     mode: str = "and",
     tf_mode: str = "true",
     k1: float = K1,
@@ -268,6 +268,16 @@ def match_docs(
 ) -> DataFrame:
     """Scored FULL match set of one query -> (doc_int, score) with NO
     rank window and NO query_id funnel.
+
+    ``terms`` may also be a pre-computed match frame (a DataFrame with
+    ``doc_int`` and optionally ``score``) — e.g. the output of
+    ``boolsearch.boolean_match_docs`` — in which case it is passed
+    through (score defaulting to 0.0). Every match-set consumer
+    (facets, collapse, significant terms, numeric aggs, pagination)
+    routes its query through this function, so accepting a frame HERE
+    makes all of them compose with the boolean query language for
+    free; ``mode``/``tf_mode`` and the BM25 parameters are ignored for
+    a frame (its scores are whatever produced it).
 
     ``min_should_match`` (Lucene BooleanQuery
     ``setMinimumNumberShouldMatch``): in OR mode, keep only docs
@@ -290,6 +300,26 @@ def match_docs(
     bit-identical to ``search`` (same ascending-sorted deterministic
     FP fold over per-term BM25).
     """
+    if isinstance(terms, DataFrame):
+        match = terms
+        if "doc_int" not in match.columns:
+            match = match.withColumn(
+                "docid", F.col("docid").cast("string")
+            ).join(index["docid_map"], "docid")
+        if "score" not in match.columns:
+            match = match.withColumn("score", F.lit(0.0))
+        if doc_filter is not None:
+            if "doc_int" not in doc_filter.columns:
+                doc_filter = (
+                    doc_filter.select(
+                        F.col("docid").cast("string").alias("docid")
+                    ).join(index["docid_map"], "docid")
+                )
+            match = match.join(
+                doc_filter.select("doc_int").distinct(), "doc_int", "semi"
+            )
+        return match.select("doc_int", "score")
+
     n_docs, avg_dl = _stats(index)
     uniq = list(dict.fromkeys(terms))
     decoded = exclude_tombstones(

@@ -39,7 +39,7 @@ def _xlogx_ratio(k, e):
 
 def significant_terms(
     index: dict[str, DataFrame],
-    terms: list[str],
+    terms: list[str] | DataFrame,
     top_n: int = 10,
     min_df: int = 2,
     max_df_frac: float = 0.5,
@@ -64,11 +64,15 @@ def significant_terms(
         index, terms, mode=mode, tf_mode=tf_mode, k1=k1, b=b
     ).select("doc_int")
 
+    # exclude the query's own terms (significant by construction) —
+    # unknowable when the caller passed a pre-computed match frame
+    # (e.g. a boolean match set), so nothing is excluded then
+    exclude = [] if isinstance(terms, DataFrame) else list(dict.fromkeys(terms))
     max_df = int(max_df_frac * n_docs)
     cand = index["postings"].filter(
         (F.col("df") >= int(min_df))
         & (F.col("df") <= max_df)
-        & ~F.col("term").isin(list(dict.fromkeys(terms)))
+        & ~F.col("term").isin(exclude)
     )
     decoded = decode_postings_df(cand).select("term", "df", "doc_int")
 
