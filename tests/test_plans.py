@@ -365,3 +365,68 @@ def test_related_docs_no_funnel_semi_join_prune(spark, small_index):
         assert "src_docid" in l, l  # every window is source-partitioned
     assert "LeftSemi" in plan, plan
     assert plan.count("REPARTITION_BY_NUM") == 1, plan
+
+
+def test_collapse_heads_are_aggregate_not_window(spark, small_index):
+    """search_collapse with group_top_n=1: group heads come from a
+    map-side-combining max(struct) AGGREGATE — no Window touches the
+    match set; the only Window numbers <= k group rows above the
+    GlobalLimit (same shape as search's distributed top-k)."""
+    from large_scale_hypertextual_search_engine_spark.operators.collapse import (
+        search_collapse,
+    )
+
+    groups = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(1, 121)],
+        "doc_int long, lang string",
+    )
+    plan = _plan(
+        search_collapse(small_index, ["the"], groups, "lang", top_k=3)
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    lines = plan.splitlines()
+    win_at = [i for i, l in enumerate(lines) if "Window" in l]
+    take_at = [i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l]
+    assert win_at and take_at and max(win_at) < min(take_at), plan
+
+
+def test_search_after_topk_is_distributed(spark, small_index):
+    """search_after: cursor predicate + TakeOrderedAndProject; the only
+    Window numbers the page rows above the limit."""
+    from large_scale_hypertextual_search_engine_spark.operators.pagination import (
+        search_after,
+    )
+
+    plan = _plan(
+        search_after(small_index, ["the"], cursor=(1.5, 3), page_size=5)
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    lines = plan.splitlines()
+    win_at = [i for i, l in enumerate(lines) if "Window" in l]
+    take_at = [i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l]
+    assert win_at and take_at and max(win_at) < min(take_at), plan
+
+
+def test_sigterms_and_numeric_aggs_have_no_window(spark, small_index):
+    """significant_terms / histogram / stats: pure aggregation plans —
+    no Window operator anywhere, no per-row Python."""
+    from large_scale_hypertextual_search_engine_spark.operators.facets import (
+        histogram_facet,
+        stats_facet,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.sigterms import (
+        significant_terms,
+    )
+
+    vals = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 121)],
+        "doc_int long, n double",
+    )
+    for df in (
+        significant_terms(small_index, ["the"], top_n=5),
+        histogram_facet(small_index, ["the"], vals, "n", 10.0),
+        stats_facet(small_index, ["the"], vals, "n"),
+    ):
+        plan = _plan(df)
+        assert "Window" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
