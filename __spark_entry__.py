@@ -630,6 +630,33 @@ def q_ft_facets_boolean(spark, sf_dir):
     )
 
 
+def q_ft_termvectors(spark, sf_dir):
+    """Term vectors (Lucene TermVectors / ES _termvectors): forward
+    (doc, term, tf, positions) triples for a 1-in-97 doc slice — one
+    narrow Arrow analyze pass, no shuffle."""
+    from large_scale_hypertextual_search_engine_spark.operators.termvectors import (
+        term_vectors,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.col("doc_id").cast("string").alias("docid"),
+            F.col("text").alias("content"),
+        )
+    )
+    res = term_vectors(docs)
+    return res.select(
+        "docid", "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.expr("transform(positions, x -> cast(x as bigint))").alias(
+            "positions"
+        ),
+        F.col("doc_len").cast("bigint").alias("doc_len"),
+    )
+
+
 def q_ft_ql(spark, sf_dir):
     """Dirichlet query-likelihood ranking (Zhai & Lafferty 2001,
     mu=2000): the standard LM alternative to BM25, over the same
@@ -1791,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_histogram": q_ft_histogram,
         "ft_stats_facet": q_ft_stats_facet,
         "ft_facets_boolean": q_ft_facets_boolean,
+        "ft_termvectors": q_ft_termvectors,
         "ft_range_facet": q_ft_range_facet,
         "ltr_features": q_ltr_features,
         "ft_sorted": q_ft_sorted,
@@ -3006,6 +3034,24 @@ SELECT CAST(p.query_id AS BIGINT) AS query_id, p.docid,
        round(p.n_matched * 1.0 / n.n_terms, 6) AS match_ratio,
        p.doc_len
 FROM per p JOIN nt n USING (query_id)""",
+        "ft_termvectors": """
+WITH tokp AS (
+  SELECT docid, term,
+         row_number() OVER (PARTITION BY docid ORDER BY ord) AS pos
+  FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS docid,
+           unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS ord
+    FROM documents WHERE doc_id % 97 = 0
+  ) WHERE term <> ''
+),
+dl AS (SELECT docid, MAX(pos) AS doc_len FROM tokp GROUP BY docid)
+SELECT t.docid, t.term,
+       CAST(COUNT(*) AS BIGINT) AS tf,
+       list(t.pos ORDER BY t.pos) AS positions,
+       CAST(d.doc_len AS BIGINT) AS doc_len
+FROM tokp t JOIN dl d USING (docid)
+GROUP BY t.docid, t.term, d.doc_len""",
         "ft_facets_boolean": f"""
 WITH {_TOKS},
 pos AS (SELECT DISTINCT docid FROM toks WHERE term IN ('merge', 'spark')),
