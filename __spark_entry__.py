@@ -657,6 +657,30 @@ def q_ft_termvectors(spark, sf_dir):
     )
 
 
+def q_lm_quality(spark, sf_dir):
+    """Bigram-LM quality scoring (the CCNet perplexity-proxy filter):
+    train add-1 bigram counts on the corpus, score a 1-in-11 doc slice
+    by mean log P(w2|w1) — counts are two aggregations, scoring one
+    bigram-keyed join, all codegen."""
+    from large_scale_hypertextual_search_engine_spark.operators.lm import (
+        score_docs_lm,
+        train_bigram_lm,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("docid"),
+        F.col("text").alias("content"),
+    )
+    lm = train_bigram_lm(docs)
+    target = docs.filter(F.col("docid").cast("long") % 11 == 0)
+    res = score_docs_lm(target, lm, k=1.0)
+    return res.select(
+        "docid",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    )
+
+
 def q_ft_ql(spark, sf_dir):
     """Dirichlet query-likelihood ranking (Zhai & Lafferty 2001,
     mu=2000): the standard LM alternative to BM25, over the same
@@ -1819,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_stats_facet": q_ft_stats_facet,
         "ft_facets_boolean": q_ft_facets_boolean,
         "ft_termvectors": q_ft_termvectors,
+        "lm_quality": q_lm_quality,
         "ft_range_facet": q_ft_range_facet,
         "ltr_features": q_ltr_features,
         "ft_sorted": q_ft_sorted,
@@ -3034,6 +3059,45 @@ SELECT CAST(p.query_id AS BIGINT) AS query_id, p.docid,
        round(p.n_matched * 1.0 / n.n_terms, 6) AS match_ratio,
        p.doc_len
 FROM per p JOIN nt n USING (query_id)""",
+        "lm_quality": """
+WITH tokp AS (
+  SELECT docid, term,
+         row_number() OVER (PARTITION BY docid ORDER BY ord) AS pos
+  FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS docid,
+           unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS ord
+    FROM documents
+  ) WHERE term <> ''
+),
+uni AS (SELECT term AS w, COUNT(*) AS c FROM tokp GROUP BY term),
+voc AS (SELECT COUNT(*) AS v FROM uni),
+big AS (
+  SELECT a.term AS w1, b.term AS w2, COUNT(*) AS c
+  FROM tokp a JOIN tokp b ON b.docid = a.docid AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+target AS (SELECT CAST(doc_id AS VARCHAR) AS docid FROM documents
+           WHERE doc_id % 11 = 0),
+db AS (
+  SELECT a.docid, a.term AS w1, b.term AS w2
+  FROM tokp a JOIN tokp b ON b.docid = a.docid AND b.pos = a.pos + 1
+  WHERE a.docid IN (SELECT docid FROM target)
+),
+scored AS (
+  SELECT db.docid,
+         ln((COALESCE(g.c, 0) + 1.0) / (COALESCE(u.c, 0) + 1.0 * v.v)) AS lp
+  FROM db
+  LEFT JOIN big g ON g.w1 = db.w1 AND g.w2 = db.w2
+  LEFT JOIN uni u ON u.w = db.w1
+  CROSS JOIN voc v
+),
+per AS (SELECT docid, COUNT(*) AS n_bigrams, AVG(lp) AS avg_logprob
+        FROM scored GROUP BY docid)
+SELECT t.docid,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(p.avg_logprob, 6) AS avg_logprob
+FROM target t LEFT JOIN per p USING (docid)""",
         "ft_termvectors": """
 WITH tokp AS (
   SELECT docid, term,

@@ -1,0 +1,110 @@
+"""Bigram-LM quality scoring: brute-force parity, smoothing floor,
+short-doc NULLs, self-trained ordering sanity."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from large_scale_hypertextual_search_engine_spark.operators.lm import (
+    score_docs_lm,
+    train_bigram_lm,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("cast(doc_id as string) as docid", "text as content")
+        .limit(120)
+        .cache()
+    )
+
+
+def _brute(rows, k=1.0):
+    toks = {r["docid"]: [t for t in r["content"].split(" ") if t] for r in rows}
+    uni: dict[str, int] = {}
+    big: dict[tuple, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    v = len(uni)
+    out = {}
+    for d, ts in toks.items():
+        bgs = list(zip(ts, ts[1:]))
+        if not bgs:
+            out[d] = (0, None)
+            continue
+        lp = [
+            math.log((big.get(bg, 0) + k) / (uni.get(bg[0], 0) + k * v))
+            for bg in bgs
+        ]
+        out[d] = (len(bgs), sum(lp) / len(lp))
+    return out
+
+
+def test_score_matches_bruteforce(spark, corpus):
+    lm = train_bigram_lm(corpus)
+    got = {
+        r["docid"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in score_docs_lm(corpus, lm).collect()
+    }
+    want = _brute(corpus.collect())
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0], d
+        if want[d][1] is None:
+            assert got[d][1] is None
+        else:
+            assert got[d][1] == pytest.approx(want[d][1], rel=1e-9), d
+
+
+def test_unseen_bigrams_finite(spark, corpus):
+    """A doc full of OOV tokens still gets a finite (very low) score."""
+    lm = train_bigram_lm(corpus)
+    alien = spark.createDataFrame(
+        [("x", "zzq1 zzq2 zzq3")], "docid string, content string"
+    )
+    r = score_docs_lm(alien, lm).collect()[0]
+    assert r["n_bigrams"] == 2
+    assert r["avg_logprob"] is not None and math.isfinite(r["avg_logprob"])
+
+
+def test_in_domain_beats_alien(spark, corpus):
+    """Scoring the training docs vs shuffled-vocabulary gibberish: the
+    corpus median must exceed the gibberish score."""
+    lm = train_bigram_lm(corpus)
+    scores = [
+        r["avg_logprob"]
+        for r in score_docs_lm(corpus, lm).collect()
+        if r["avg_logprob"] is not None
+    ]
+    scores.sort()
+    median = scores[len(scores) // 2]
+    alien = spark.createDataFrame(
+        [("x", "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8")],
+        "docid string, content string",
+    )
+    alien_score = score_docs_lm(alien, lm).collect()[0]["avg_logprob"]
+    assert median > alien_score
+
+
+def test_short_docs_null(spark, corpus):
+    lm = train_bigram_lm(corpus)
+    short = spark.createDataFrame(
+        [("a", "one"), ("b", ""), ("c", "two words")],
+        "docid string, content string",
+    )
+    got = {r["docid"]: r for r in score_docs_lm(short, lm).collect()}
+    assert got["a"]["n_bigrams"] == 0 and got["a"]["avg_logprob"] is None
+    assert got["b"]["n_bigrams"] == 0 and got["b"]["avg_logprob"] is None
+    assert got["c"]["n_bigrams"] == 1
+
+
+def test_bad_k(corpus):
+    lm = {"unigrams": None, "bigrams": None, "vocab": None}
+    with pytest.raises(ValueError):
+        score_docs_lm(corpus, lm, k=0.0)
