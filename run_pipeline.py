@@ -140,6 +140,93 @@ def _cli_doc_filter(spark, args):
     )
 
 
+def _search_matchset_consumers(spark, idx, args) -> None:
+    """--collapse-from / --sort-from / --sigterms: match-set consumers
+    over either a term query or (with --boolean) a boolean match set —
+    the boolean_match_docs composition point."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from large_scale_hypertextual_search_engine_spark.analysis.tokenizer import (
+        tokenize_compat, tokenize_simple,
+    )
+
+    t0 = _time.time()
+    if args.boolean:
+        from large_scale_hypertextual_search_engine_spark.operators.boolsearch import (
+            boolean_match_docs,
+        )
+
+        if args.analyzer == "simple":
+            analyze = tokenize_simple
+        else:
+            analyze = lambda w: [  # noqa: E731
+                t.term for t in tokenize_compat(w, stem=args.stem)
+            ]
+        match = boolean_match_docs(
+            idx, args.query, tf_mode=args.tf_mode, analyze=analyze
+        )
+    elif args.analyzer == "simple":
+        match = tokenize_simple(args.query)
+    else:
+        match = [t.term for t in tokenize_compat(args.query, stem=args.stem)]
+
+    n_out = 0
+    if args.collapse_from:
+        from large_scale_hypertextual_search_engine_spark.operators.collapse import (
+            search_collapse,
+        )
+
+        rows = search_collapse(
+            idx, match, spark.read.parquet(args.collapse_from),
+            args.collapse_col, top_k=args.top_k,
+            group_top_n=args.collapse_top_n, mode=args.mode,
+            tf_mode=args.tf_mode,
+        ).collect()
+        for r in rows:
+            print(
+                f"{r['group_rank']:3d}.{r['hit_rank']:<2d} "
+                f"{r['score']:12.6f}  [{r['group_value']}]  {r['docid']}"
+            )
+        n_out = len(rows)
+    elif args.sort_from:
+        from large_scale_hypertextual_search_engine_spark.operators.pagination import (
+            search_sorted,
+        )
+
+        rows = search_sorted(
+            idx, match, spark.read.parquet(args.sort_from), args.sort_col,
+            ascending=args.sort_asc, top_k=args.top_k, mode=args.mode,
+            tf_mode=args.tf_mode,
+        ).collect()
+        for r in rows:
+            print(
+                f"{r['rank']:3d}  {str(r['sort_value']):>12s}  "
+                f"{r['score']:12.6f}  {r['docid']}"
+            )
+        n_out = len(rows)
+    else:
+        from large_scale_hypertextual_search_engine_spark.operators.sigterms import (
+            significant_terms,
+        )
+
+        rows = significant_terms(
+            idx, match, top_n=args.sigterms_n, mode=args.mode,
+            tf_mode=args.tf_mode,
+        ).collect()
+        for r in rows:
+            print(
+                f"{r['term']:<24s} fg={r['fg_count']:<6d} "
+                f"bg={r['bg_count']:<8d} g2={r['score']:.3f}"
+            )
+        n_out = len(rows)
+    print(json.dumps(
+        {"latency_ms": round((_time.time() - t0) * 1000, 1), "rows": n_out}
+    ))
+    spark.stop()
+
+
 def cmd_search(args) -> None:
     from large_scale_hypertextual_search_engine_spark.plans.lineage import load_index
     from large_scale_hypertextual_search_engine_spark.operators.query import search_text
@@ -152,6 +239,9 @@ def cmd_search(args) -> None:
     idx = load_index(spark, args.index)
     if args.serve:
         _search_served(spark, idx, args)
+        return
+    if args.collapse_from or args.sort_from or args.sigterms:
+        _search_matchset_consumers(spark, idx, args)
         return
     t0 = time.time()
     if args.boolean:
@@ -1307,6 +1397,27 @@ def main() -> None:
     p.add_argument("--facet-cols", default="lang,source",
                    help="comma-separated facet columns")
     p.add_argument("--facet-top-n", type=int, default=5)
+    p.add_argument(
+        "--collapse-from", default=None,
+        help="parquet with (docid, <collapse-col>): field collapse — "
+             "top hits per group, groups ranked by best hit",
+    )
+    p.add_argument("--collapse-col", default="lang")
+    p.add_argument("--collapse-top-n", type=int, default=1,
+                   help="hits kept per group")
+    p.add_argument(
+        "--sort-from", default=None,
+        help="parquet with (docid, <sort-col>): order the match set by "
+             "a metadata column instead of relevance",
+    )
+    p.add_argument("--sort-col", default="n_chars")
+    p.add_argument("--sort-asc", action="store_true")
+    p.add_argument(
+        "--sigterms", action="store_true",
+        help="print significant terms (Dunning G2) of the match set "
+             "instead of hits; composes with --boolean",
+    )
+    p.add_argument("--sigterms-n", type=int, default=10)
     p.add_argument(
         "--rm3-from", default=None, metavar="PARQUET",
         help="pseudo-relevance feedback: expand the query with top "
