@@ -681,6 +681,29 @@ def q_lm_quality(spark, sf_dir):
     )
 
 
+def q_ft_suggest(spark, sf_dir):
+    """Context-aware did-you-mean: OOV terms of 'fast sprak jion'
+    corrected by bigram-LM fit with their neighbors (noisy-channel,
+    Kernighan et al. 1990) — one lexicon scan, model joins by key."""
+    from large_scale_hypertextual_search_engine_spark.operators.lm import (
+        suggest_context,
+        train_bigram_lm,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("docid"),
+        F.col("text").alias("content"),
+    )
+    lm = train_bigram_lm(docs)
+    res = suggest_context(
+        _index(spark, sf_dir), lm, ["fast", "sprak", "jion"], max_dist=2,
+    )
+    return res.select(
+        "pos", "word", "suggestion", "dist",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_ft_ql(spark, sf_dir):
     """Dirichlet query-likelihood ranking (Zhai & Lafferty 2001,
     mu=2000): the standard LM alternative to BM25, over the same
@@ -1843,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_stats_facet": q_ft_stats_facet,
         "ft_facets_boolean": q_ft_facets_boolean,
         "ft_termvectors": q_ft_termvectors,
+        "ft_suggest": q_ft_suggest,
         "lm_quality": q_lm_quality,
         "ft_range_facet": q_ft_range_facet,
         "ltr_features": q_ltr_features,
@@ -3098,6 +3122,59 @@ SELECT t.docid,
        CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        round(p.avg_logprob, 6) AS avg_logprob
 FROM target t LEFT JOIN per p USING (docid)""",
+        "ft_suggest": """
+WITH tokp AS (
+  SELECT docid, term,
+         row_number() OVER (PARTITION BY docid ORDER BY ord) AS pos
+  FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS docid,
+           unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS ord
+    FROM documents
+  ) WHERE term <> ''
+),
+uni AS (SELECT term AS w, COUNT(*) AS c FROM tokp GROUP BY term),
+voc AS (SELECT COUNT(*) AS v FROM uni),
+big AS (
+  SELECT a.term AS w1, b.term AS w2, COUNT(*) AS c
+  FROM tokp a JOIN tokp b ON b.docid = a.docid AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+q(qpos, word, prev, nxt) AS (VALUES
+  (0, 'fast', CAST(NULL AS VARCHAR), 'sprak'),
+  (1, 'sprak', 'fast', 'jion'),
+  (2, 'jion', 'sprak', CAST(NULL AS VARCHAR))
+),
+cand AS (
+  SELECT q.qpos, q.word, q.prev, q.nxt, u.w AS term, u.c AS tf,
+         levenshtein(u.w, q.word) AS dist
+  FROM q JOIN uni u ON abs(length(u.w) - length(q.word)) <= 2
+  WHERE levenshtein(u.w, q.word) <= 2
+),
+oov AS (SELECT qpos FROM cand GROUP BY qpos HAVING MIN(dist) > 0),
+scored AS (
+  SELECT c.qpos, c.word, c.term, c.dist, c.tf,
+    (CASE WHEN c.prev IS NOT NULL THEN
+       ln((COALESCE(bp.c, 0) + 1.0) / (COALESCE(up.c, 0) + 1.0 * v.v))
+     ELSE 0 END)
+  + (CASE WHEN c.nxt IS NOT NULL THEN
+       ln((COALESCE(bn.c, 0) + 1.0) / (COALESCE(uc.c, 0) + 1.0 * v.v))
+     ELSE 0 END) AS score
+  FROM cand c
+  JOIN oov USING (qpos)
+  LEFT JOIN big bp ON bp.w1 = c.prev AND bp.w2 = c.term
+  LEFT JOIN big bn ON bn.w1 = c.term AND bn.w2 = c.nxt
+  LEFT JOIN uni up ON up.w = c.prev
+  LEFT JOIN uni uc ON uc.w = c.term
+  CROSS JOIN voc v
+)
+SELECT CAST(qpos AS BIGINT) AS pos, word, term AS suggestion,
+       CAST(dist AS INT) AS dist, round(score, 6) AS score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qpos ORDER BY score DESC, dist ASC, tf DESC, term ASC
+  ) AS rn FROM scored
+) WHERE rn = 1 ORDER BY pos""",
         "ft_termvectors": """
 WITH tokp AS (
   SELECT docid, term,

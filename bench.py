@@ -303,6 +303,29 @@ def main() -> None:
     t0 = time.time()
     n_rel = related_docs(idx, docs_txt, top_k=5, max_terms=3).count()
     extra["related_500src_s"] = round(time.time() - t0, 3)
+
+    # round-5: significant terms (df-pruned decode + one fg join) and
+    # bigram-LM corpus scoring (two count aggs + one bigram-keyed join)
+    from large_scale_hypertextual_search_engine_spark.operators.lm import (
+        score_docs_lm,
+        train_bigram_lm,
+    )
+    from large_scale_hypertextual_search_engine_spark.operators.sigterms import (
+        significant_terms,
+    )
+
+    t0 = time.time()
+    significant_terms(idx, ["spark", "join"], top_n=10).count()
+    extra["sigterms_s"] = round(time.time() - t0, 3)
+    docs_lm = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("docid"),
+        F.col("text").alias("content"),
+    )
+    t0 = time.time()
+    lm = train_bigram_lm(docs_lm)
+    n_lm = score_docs_lm(docs_lm, lm).count()
+    extra["lm_train_score_s"] = round(time.time() - t0, 3)
+    extra["lm_docs"] = int(n_lm)
     extra["related_rows"] = int(n_rel)
 
     # --- round-5: training-pipeline hygiene ops over the documents

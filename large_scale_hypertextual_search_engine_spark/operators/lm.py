@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["train_bigram_lm", "score_docs_lm"]
+__all__ = ["train_bigram_lm", "score_docs_lm", "suggest_context"]
 
 
 def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -126,4 +126,122 @@ def score_docs_lm(
             F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
             "avg_logprob",
         )
+    )
+
+
+def suggest_context(
+    index: dict[str, DataFrame],
+    lm: dict[str, DataFrame],
+    terms: list[str],
+    max_dist: int = 1,
+    k: float = 1.0,
+) -> DataFrame:
+    """Context-aware "did you mean": -> (pos, word, suggestion, dist,
+    score) for each OUT-OF-VOCABULARY query term, ranked by bigram-LM
+    fit with its neighbors — the noisy-channel corrector (Kernighan et
+    al. 1990) with the add-k bigram as the language model.
+
+    For the OOV word at position i, every in-lexicon candidate within
+    ``max_dist`` scores log P(cand | term[i-1]) + log P(term[i+1] |
+    cand) (terms at the edges drop the missing side); ties break (dist
+    asc, tf desc, term asc) — the context-free prior ``correct_terms``
+    uses. In-vocabulary words are never "corrected".
+
+    One job: the probe frame (word, prev, next) broadcasts against a
+    length-pruned lexicon scan with threshold levenshtein (JVM
+    codegen), candidates left-join the bigram/unigram count tables on
+    their keys, and the per-word argmax is a window over the handful
+    of query positions. The lexicon is scanned once for the whole
+    query; the model tables join by key like any fact table.
+    """
+    from pyspark.sql import Window
+
+    words = [w.lower() for w in terms]
+    rows = [
+        (
+            i,
+            w,
+            words[i - 1] if i > 0 else None,
+            words[i + 1] if i + 1 < len(words) else None,
+        )
+        for i, w in enumerate(words)
+    ]
+    spark = index["lexicon"].sparkSession
+    probe = spark.createDataFrame(
+        rows, "pos long, word string, prev string, next string"
+    )
+    cand = (
+        index["lexicon"]
+        .select("term", "tf")
+        .join(
+            F.broadcast(probe),
+            F.abs(F.length("term") - F.length("word")) <= max_dist,
+        )
+        .withColumn(
+            "dist", F.levenshtein(F.col("term"), F.col("word"), max_dist)
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )
+    # drop positions whose word is already in the lexicon (dist 0)
+    oov = cand.groupBy("pos").agg(F.min("dist").alias("min_dist"))
+    cand = cand.join(
+        F.broadcast(oov.filter(F.col("min_dist") > 0).select("pos")), "pos"
+    )
+
+    big = lm["bigrams"]
+    uni = lm["unigrams"]
+    kk = float(k)
+    scored = (
+        cand.join(
+            big.select(
+                F.col("w1").alias("prev"), F.col("w2").alias("term"),
+                F.col("c").alias("c_pc"),
+            ),
+            ["prev", "term"], "left",
+        )
+        .join(
+            big.select(
+                F.col("w1").alias("term"), F.col("w2").alias("next"),
+                F.col("c").alias("c_cn"),
+            ),
+            ["term", "next"], "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("prev"), F.col("c").alias("c_p")),
+            "prev", "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("term"), F.col("c").alias("c_c")),
+            "term", "left",
+        )
+        .join(F.broadcast(lm["vocab"]))
+        .withColumn(
+            "score",
+            F.when(
+                F.col("prev").isNotNull(),
+                F.log(
+                    (F.coalesce(F.col("c_pc"), F.lit(0)) + kk)
+                    / (F.coalesce(F.col("c_p"), F.lit(0)) + kk * F.col("v"))
+                ),
+            ).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("next").isNotNull(),
+                F.log(
+                    (F.coalesce(F.col("c_cn"), F.lit(0)) + kk)
+                    / (F.coalesce(F.col("c_c"), F.lit(0)) + kk * F.col("v"))
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy("pos").orderBy(
+        F.desc("score"), F.asc("dist"), F.desc("tf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "pos", "word", F.col("term").alias("suggestion"),
+            F.col("dist").cast("int").alias("dist"), "score",
+        )
+        .orderBy("pos")
     )
