@@ -3152,9 +3152,11 @@ cand AS (
   WHERE levenshtein(u.w, q.word) <= 2
 ),
 oov AS (SELECT qpos FROM cand GROUP BY qpos HAVING MIN(dist) > 0),
+tot AS (SELECT SUM(c) AS t_total FROM uni),
 scored AS (
   SELECT c.qpos, c.word, c.term, c.dist, c.tf,
-    (CASE WHEN c.prev IS NOT NULL THEN
+    ln(c.tf * 1.0 / t.t_total)
+  + (CASE WHEN c.prev IS NOT NULL THEN
        ln((COALESCE(bp.c, 0) + 1.0) / (COALESCE(up.c, 0) + 1.0 * v.v))
      ELSE 0 END)
   + (CASE WHEN c.nxt IS NOT NULL THEN
@@ -3162,6 +3164,7 @@ scored AS (
      ELSE 0 END) AS score
   FROM cand c
   JOIN oov USING (qpos)
+  CROSS JOIN tot t
   LEFT JOIN big bp ON bp.w1 = c.prev AND bp.w2 = c.term
   LEFT JOIN big bn ON bn.w1 = c.term AND bn.w2 = c.nxt
   LEFT JOIN uni up ON up.w = c.prev

@@ -142,10 +142,14 @@ def suggest_context(
     al. 1990) with the add-k bigram as the language model.
 
     For the OOV word at position i, every in-lexicon candidate within
-    ``max_dist`` scores log P(cand | term[i-1]) + log P(term[i+1] |
-    cand) (terms at the edges drop the missing side); ties break (dist
-    asc, tf desc, term asc) — the context-free prior ``correct_terms``
-    uses. In-vocabulary words are never "corrected".
+    ``max_dist`` scores log P(cand) + log P(cand | term[i-1]) +
+    log P(term[i+1] | cand) (edges drop the missing side). The unigram
+    source prior log P(cand) = ln(c(cand)/T) is load-bearing, not
+    decoration: with an unseen continuation, add-k alone PREFERS rare
+    candidates (their smoothing denominator c(cand) + kV is smaller) —
+    observed as "teh -> def" beating "teh -> the" before the prior.
+    Ties break (dist asc, tf desc, term asc) — the context-free order
+    ``correct_terms`` uses. In-vocabulary words are never "corrected".
 
     One job: the probe frame (word, prev, next) broadcasts against a
     length-pruned lexicon scan with threshold levenshtein (JVM
@@ -215,9 +219,13 @@ def suggest_context(
             "term", "left",
         )
         .join(F.broadcast(lm["vocab"]))
+        .join(F.broadcast(
+            lm["unigrams"].agg(F.sum("c").alias("t_total"))
+        ))
         .withColumn(
             "score",
-            F.when(
+            F.log(F.col("tf").cast("double") / F.col("t_total"))
+            + F.when(
                 F.col("prev").isNotNull(),
                 F.log(
                     (F.coalesce(F.col("c_pc"), F.lit(0)) + kk)

@@ -243,6 +243,42 @@ def cmd_search(args) -> None:
     if args.collapse_from or args.sort_from or args.sigterms:
         _search_matchset_consumers(spark, idx, args)
         return
+    if args.suggest_from:
+        from pyspark.sql import functions as F
+
+        from large_scale_hypertextual_search_engine_spark.operators.lm import (
+            suggest_context,
+            train_bigram_lm,
+        )
+
+        t0 = time.time()
+        docs = spark.read.parquet(args.suggest_from).select(
+            F.col("docid").cast("string").alias("docid"),
+            F.col("content"),
+        )
+        lm = train_bigram_lm(docs)
+        terms = (
+            tokenize_simple(args.query)
+            if args.analyzer == "simple"
+            else [t.term for t in tokenize_compat(args.query, stem=args.stem)]
+        )
+        rows = suggest_context(
+            idx, lm, terms, max_dist=args.suggest_dist
+        ).collect()
+        corrected = list(terms)
+        for r in rows:
+            print(
+                f"  {r['word']} -> {r['suggestion']} "
+                f"(dist {r['dist']}, lm {r['score']:.3f})"
+            )
+            corrected[r["pos"]] = r["suggestion"]
+        print("did you mean: " + " ".join(corrected))
+        print(json.dumps({
+            "latency_ms": round((time.time() - t0) * 1000, 1),
+            "corrections": len(rows),
+        }))
+        spark.stop()
+        return
     t0 = time.time()
     if args.boolean:
         from large_scale_hypertextual_search_engine_spark.operators.boolsearch import (
@@ -1418,6 +1454,12 @@ def main() -> None:
              "instead of hits; composes with --boolean",
     )
     p.add_argument("--sigterms-n", type=int, default=10)
+    p.add_argument(
+        "--suggest-from", default=None,
+        help="corpus parquet (docid, content): context-aware did-you-"
+             "mean — OOV terms rescored by a corpus bigram LM",
+    )
+    p.add_argument("--suggest-dist", type=int, default=2)
     p.add_argument(
         "--rm3-from", default=None, metavar="PARQUET",
         help="pseudo-relevance feedback: expand the query with top "

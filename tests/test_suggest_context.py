@@ -72,9 +72,10 @@ def _brute(corpus, terms, max_dist=2, k=1.0):
         ]
         if not cands or min(d for _, d in cands) == 0:
             continue
+        total = sum(uni.values())
         scored = []
         for t, d in cands:
-            s = 0.0
+            s = math.log(uni[t] / total)
             if i > 0:
                 s += logp(words[i - 1], t)
             if i + 1 < len(words):
@@ -111,11 +112,13 @@ def test_in_vocab_words_untouched(spark, sc_index, sc_lm):
 
 
 def test_single_oov_word_no_context(spark, corpus, sc_index, sc_lm):
-    """A 1-term query has no neighbors: falls back to the tie-break
-    prior (dist asc, tf desc) — same pick as brute."""
+    """A 1-term query has no neighbors: only the unigram source prior
+    ranks candidates — same pick as brute."""
     got = suggest_context(sc_index, sc_lm, ["sprak"], max_dist=2).collect()
     want = _brute(corpus, ["sprak"], max_dist=2)
     assert [(r["pos"], r["suggestion"]) for r in got] == [
         (p, s) for p, _, s, _, _ in want
     ]
-    assert got[0]["score"] == 0.0
+    # no context: only the unigram source prior remains (negative)
+    assert got[0]["score"] == pytest.approx(want[0][4], rel=1e-9)
+    assert got[0]["score"] < 0.0
