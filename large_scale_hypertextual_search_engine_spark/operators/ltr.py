@@ -32,6 +32,7 @@ def ltr_features(
     index: dict[str, DataFrame],
     queries: DataFrame,
     statics: DataFrame | None = None,
+    candidates_top_k: int | None = None,
     tf_mode: str = "true",
     k1: float = K1,
     b: float = B,
@@ -45,6 +46,14 @@ def ltr_features(
     filtering is downstream's call). ``statics``: optional frame keyed
     by ``doc_int`` or ``docid``; its other columns append
     query-independent features, missing docs get NULLs.
+
+    ``candidates_top_k``: the standard LTR reranking setup — restrict
+    the export to each query's top-k BM25 candidates (the set a
+    production reranker would see). Implemented as a per-query rank
+    window over the aggregated feature frame (clustering already on
+    query_id, so no extra exchange); at 100 TB this is the knob that
+    keeps the training table k·|queries| rows instead of the full OR
+    candidate set.
     """
     from .query import (
         _stats,
@@ -101,6 +110,17 @@ def ltr_features(
         "match_ratio",
         F.col("n_matched").cast("double") / F.col("n_terms"),
     )
+    if candidates_top_k is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("bm25"), F.asc("doc_int")
+        )
+        feats = (
+            feats.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= int(candidates_top_k))
+            .drop("rn")
+        )
     if statics is not None:
         if "doc_int" not in statics.columns:
             statics = statics.withColumn(

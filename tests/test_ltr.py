@@ -115,3 +115,17 @@ def test_duplicate_query_terms_deduped(spark, ltr_index):
     ra = sorted(tuple(r) for r in ltr_features(ltr_index, a).collect())
     rc = sorted(tuple(r) for r in ltr_features(ltr_index, c).collect())
     assert ra == rc and ra
+
+
+def test_candidates_top_k_matches_search_batch(spark, ltr_index, qdf):
+    """candidates_top_k=5 exports exactly search_batch's top-5 docs per
+    query (same order key: bm25 desc, doc_int asc)."""
+    feats = ltr_features(ltr_index, qdf, candidates_top_k=5).collect()
+    ranked = search_batch(ltr_index, qdf, top_k=5, mode="or").collect()
+    got = {
+        (r["query_id"], r["doc_int"]): r["bm25"] for r in feats
+    }
+    want = {
+        (r["query_id"], r["doc_int"]): r["score"] for r in ranked
+    }
+    assert got == want and got
