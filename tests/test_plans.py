@@ -430,3 +430,25 @@ def test_sigterms_and_numeric_aggs_have_no_window(spark, small_index):
         plan = _plan(df)
         assert "Window" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
+
+
+def test_lm_plans_are_python_free(spark, small_index):
+    """train/score/suggest: whole-stage codegen only — no Python
+    evaluation anywhere; scoring carries no Window."""
+    from large_scale_hypertextual_search_engine_spark.operators.lm import (
+        score_docs_lm,
+        suggest_context,
+        train_bigram_lm,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("cast(doc_id as string) as docid", "text as content")
+        .limit(100)
+    )
+    lm = train_bigram_lm(docs)
+    score_plan = _plan(score_docs_lm(docs, lm))
+    assert "BatchEvalPython" not in score_plan, score_plan
+    assert "Window" not in score_plan, score_plan
+    sug_plan = _plan(suggest_context(small_index, lm, ["teh"], max_dist=1))
+    assert "BatchEvalPython" not in sug_plan, sug_plan
