@@ -704,6 +704,27 @@ def q_ft_suggest(spark, sf_dir):
     )
 
 
+def q_lm_complete(spark, sf_dir):
+    """Next-word completion: top continuations of '... spark' under
+    the corpus bigram model — one metadata-scale filter plus
+    TakeOrderedAndProject, no corpus scan."""
+    from large_scale_hypertextual_search_engine_spark.operators.lm import (
+        complete_next,
+        train_bigram_lm,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("docid"),
+        F.col("text").alias("content"),
+    )
+    lm = train_bigram_lm(docs)
+    res = complete_next(lm, "tune the spark", top_n=10)
+    return res.select(
+        "word", F.col("c").cast("bigint").alias("c"),
+        F.round("prob", 6).alias("prob"),
+    )
+
+
 def q_ft_ql(spark, sf_dir):
     """Dirichlet query-likelihood ranking (Zhai & Lafferty 2001,
     mu=2000): the standard LM alternative to BM25, over the same
@@ -1867,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facets_boolean": q_ft_facets_boolean,
         "ft_termvectors": q_ft_termvectors,
         "ft_suggest": q_ft_suggest,
+        "lm_complete": q_lm_complete,
         "lm_quality": q_lm_quality,
         "ft_range_facet": q_ft_range_facet,
         "ltr_features": q_ltr_features,
@@ -3122,6 +3144,28 @@ SELECT t.docid,
        CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        round(p.avg_logprob, 6) AS avg_logprob
 FROM target t LEFT JOIN per p USING (docid)""",
+        "lm_complete": """
+WITH tokp AS (
+  SELECT docid, term,
+         row_number() OVER (PARTITION BY docid ORDER BY ord) AS pos
+  FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS docid,
+           unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS ord
+    FROM documents
+  ) WHERE term <> ''
+),
+uni AS (SELECT term AS w, COUNT(*) AS c FROM tokp GROUP BY term),
+big AS (
+  SELECT a.term AS w1, b.term AS w2, COUNT(*) AS c
+  FROM tokp a JOIN tokp b ON b.docid = a.docid AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+)
+SELECT g.w2 AS word, CAST(g.c AS BIGINT) AS c,
+       round(g.c * 1.0 / u.c, 6) AS prob
+FROM big g JOIN uni u ON u.w = g.w1
+WHERE g.w1 = 'spark'
+ORDER BY g.c DESC, g.w2 ASC LIMIT 10""",
         "ft_suggest": """
 WITH tokp AS (
   SELECT docid, term,

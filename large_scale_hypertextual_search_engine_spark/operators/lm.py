@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["train_bigram_lm", "score_docs_lm", "suggest_context"]
+__all__ = ["train_bigram_lm", "score_docs_lm", "suggest_context", "complete_next"]
 
 
 def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -252,4 +252,38 @@ def suggest_context(
             F.col("dist").cast("int").alias("dist"), "score",
         )
         .orderBy("pos")
+    )
+
+
+def complete_next(
+    lm: dict[str, DataFrame],
+    context: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Next-word query completion -> (word, c, prob): the ``top_n``
+    most likely continuations of ``context``'s LAST token under the
+    bigram model (search-box "press space, see suggestions" — the
+    multi-word complement to prefix autocomplete). ``prob`` is the
+    UNSMOOTHED conditional c(w1 w2)/c(w1): completion ranks observed
+    continuations, where smoothing would only add a constant floor.
+    One metadata-scale filter + TakeOrderedAndProject; no decode, no
+    corpus scan."""
+    toks = [t for t in context.lower().split(" ") if t]
+    if not toks:
+        raise ValueError("context must contain at least one token")
+    w1 = toks[-1]
+    hist = lm["unigrams"].filter(F.col("w") == w1).select(
+        F.col("c").alias("c1")
+    )
+    return (
+        lm["bigrams"]
+        .filter(F.col("w1") == w1)
+        .join(F.broadcast(hist))
+        .select(
+            F.col("w2").alias("word"),
+            "c",
+            (F.col("c").cast("double") / F.col("c1")).alias("prob"),
+        )
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(top_n)
     )

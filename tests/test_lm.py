@@ -108,3 +108,38 @@ def test_bad_k(corpus):
     lm = {"unigrams": None, "bigrams": None, "vocab": None}
     with pytest.raises(ValueError):
         score_docs_lm(corpus, lm, k=0.0)
+
+
+def test_complete_next_bruteforce(spark, corpus):
+    from large_scale_hypertextual_search_engine_spark.operators.lm import (
+        complete_next,
+        train_bigram_lm,
+    )
+
+    lm = train_bigram_lm(corpus)
+    toks = [
+        [t for t in r["content"].split(" ") if t]
+        for r in corpus.collect()
+    ]
+    uni: dict[str, int] = {}
+    big: dict[tuple, int] = {}
+    for ts in toks:
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    w1 = max(uni, key=uni.get)
+    want = sorted(
+        ((w2, c) for (a, w2), c in big.items() if a == w1),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    got = [
+        (r["word"], r["c"], r["prob"])
+        for r in complete_next(lm, f"some context {w1}", top_n=5).collect()
+    ]
+    assert [(w, c) for w, c, _ in got] == want
+    for (_, c, p) in got:
+        assert p == pytest.approx(c / uni[w1])
+
+    with pytest.raises(ValueError):
+        complete_next(lm, "   ")
