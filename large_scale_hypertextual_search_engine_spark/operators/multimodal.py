@@ -548,6 +548,17 @@ def decode_media(
                     rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
                     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
                 else:
+                    if payload is None:
+                        # NULL payload is a data error, not a codec
+                        # gap: raise the documented loud degradation
+                        # deterministically (a TypeError from
+                        # bytes(None) would win or lose the
+                        # task-failure race against sibling rows'
+                        # NotImplementedError nondeterministically)
+                        raise NotImplementedError(
+                            f"media_id={mid}: NULL payload cannot be "
+                            "decoded; filter nulls or run fake=True"
+                        )
                     px0 = _decode_image_stdlib(bytes(payload))
                     if px0 is not None:
                         px = _resize_nearest(px0, w, h)
