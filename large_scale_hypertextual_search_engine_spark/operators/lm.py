@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["train_bigram_lm", "score_docs_lm", "suggest_context", "complete_next"]
+__all__ = ["train_bigram_lm", "score_docs_lm", "suggest_context", "complete_next", "save_lm", "load_lm"]
 
 
 def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -287,3 +287,18 @@ def complete_next(
         .orderBy(F.desc("c"), F.asc("word"))
         .limit(top_n)
     )
+
+
+def save_lm(lm: dict[str, DataFrame], path: str) -> None:
+    """Persist the count model as parquet tables (unigrams/, bigrams/,
+    vocab/) — the same artifact discipline as the index: train once on
+    the big corpus, reload for every scoring / suggestion job."""
+    for name in ("unigrams", "bigrams", "vocab"):
+        lm[name].write.mode("overwrite").parquet(f"{path}/{name}")
+
+
+def load_lm(spark, path: str) -> dict[str, DataFrame]:
+    return {
+        name: spark.read.parquet(f"{path}/{name}")
+        for name in ("unigrams", "bigrams", "vocab")
+    }

@@ -143,3 +143,19 @@ def test_complete_next_bruteforce(spark, corpus):
 
     with pytest.raises(ValueError):
         complete_next(lm, "   ")
+
+
+def test_lm_save_load_roundtrip(spark, corpus, tmp_path):
+    from large_scale_hypertextual_search_engine_spark.operators.lm import (
+        load_lm,
+        save_lm,
+        score_docs_lm,
+        train_bigram_lm,
+    )
+
+    lm = train_bigram_lm(corpus)
+    save_lm(lm, str(tmp_path / "lm"))
+    lm2 = load_lm(spark, str(tmp_path / "lm"))
+    a = sorted(tuple(r) for r in score_docs_lm(corpus, lm).collect())
+    b = sorted(tuple(r) for r in score_docs_lm(corpus, lm2).collect())
+    assert a == b and a
