@@ -1213,6 +1213,60 @@ def cmd_merge(args) -> None:
     )
 
 
+def cmd_lm(args) -> None:
+    """Bigram-LM pipeline: train counts on a corpus (optionally save),
+    then score docs (CCNet-style quality filter) and/or complete a
+    context — the LM artifact persists like the index."""
+    from pyspark.sql import functions as F
+
+    from large_scale_hypertextual_search_engine_spark.operators.lm import (
+        complete_next,
+        load_lm,
+        save_lm,
+        score_docs_lm,
+        train_bigram_lm,
+    )
+
+    spark = _spark("lshse-lm")
+    t0 = time.time()
+    if args.lm:
+        lm = load_lm(spark, args.lm)
+    else:
+        docs = spark.read.parquet(args.train).select(
+            F.col(args.id_col).cast("string").alias("docid"),
+            F.col(args.text_col).alias("content"),
+        )
+        lm = train_bigram_lm(docs)
+        if args.save:
+            save_lm(lm, args.save)
+            lm = load_lm(spark, args.save)
+    out = {"wall_train_s": round(time.time() - t0, 2)}
+    if args.score:
+        target = spark.read.parquet(args.score).select(
+            F.col(args.id_col).cast("string").alias("docid"),
+            F.col(args.text_col).alias("content"),
+        )
+        scored = score_docs_lm(target, lm, k=args.smooth_k)
+        if args.out:
+            scored.write.mode("overwrite").parquet(args.out)
+            out["out"] = args.out
+        stats = scored.agg(
+            F.count("*").alias("docs"),
+            F.avg("avg_logprob").alias("mean_logprob"),
+        ).collect()[0]
+        out["scored_docs"] = int(stats["docs"])
+        out["mean_logprob"] = (
+            round(float(stats["mean_logprob"]), 4)
+            if stats["mean_logprob"] is not None else None
+        )
+    if args.complete:
+        for r in complete_next(lm, args.complete, top_n=args.top_n).collect():
+            print(f"  {args.complete} -> {r['word']}  (c={r['c']}, p={r['prob']:.4f})")
+    out["wall_s"] = round(time.time() - t0, 2)
+    print(json.dumps(out))
+    spark.stop()
+
+
 def cmd_rank(args) -> None:
     """PageRank over a (src, dst) parquet edge list -> parquet
     (id, rank); prints the top-5 and mass check."""
@@ -1742,6 +1796,21 @@ def main() -> None:
     p.add_argument("--text-col", default="text")
     p.add_argument("--out", help="optional parquet output dir")
     p.set_defaults(fn=cmd_pack)
+
+    p = sub.add_parser(
+        "lm", help="bigram LM: train/save counts, score docs, complete"
+    )
+    p.add_argument("--train", help="corpus parquet to train on")
+    p.add_argument("--lm", help="load a saved model instead of training")
+    p.add_argument("--save", help="persist the trained model here")
+    p.add_argument("--score", help="corpus parquet to quality-score")
+    p.add_argument("--out", help="parquet output for scores")
+    p.add_argument("--complete", help="context string for next-word top-n")
+    p.add_argument("--top-n", type=int, default=10)
+    p.add_argument("--smooth-k", type=float, default=1.0)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.set_defaults(fn=cmd_lm)
 
     p = sub.add_parser("package", help="build lshse.zip for --py-files")
     p.set_defaults(fn=cmd_package)
