@@ -280,19 +280,21 @@ def phrase_search_batch(
     )
 
 
-def proximity_search(
+def proximity_match_docs(
     index: dict[str, DataFrame],
     term_a: str,
     term_b: str,
     slop: int,
     ordered: bool = False,
-    top_k: int = 10,
     tf_mode: str = "true",
     k1: float = K1,
     b: float = B,
 ) -> DataFrame:
-    """NEAR/slop proximity query -> (rank, doc_int, docid, score,
-    min_dist).
+    """Scored FULL match set of a NEAR/slop query -> (doc_int, score,
+    min_dist), no rank window — feeds every match-set consumer
+    (facets, collapse, sigterms, pagination) like
+    ``query.match_docs`` / ``boolsearch.boolean_match_docs``.
+    ``proximity_search`` is this plus the distributed top-k tail.
 
     A document matches when some occurrence of ``term_a`` and some
     occurrence of ``term_b`` lie within ``slop`` token positions:
@@ -368,6 +370,27 @@ def proximity_search(
             ),
         )
     )
+    return per_doc.select("doc_int", "score", "min_dist")
+
+
+def proximity_search(
+    index: dict[str, DataFrame],
+    term_a: str,
+    term_b: str,
+    slop: int,
+    ordered: bool = False,
+    top_k: int = 10,
+    tf_mode: str = "true",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """NEAR/slop proximity query -> (rank, doc_int, docid, score,
+    min_dist): ``proximity_match_docs`` + a distributed
+    ``orderBy().limit(k)``; only the k survivors see the rank
+    window (see that function for match/score semantics)."""
+    per_doc = proximity_match_docs(
+        index, term_a, term_b, slop, ordered, tf_mode, k1, b
+    )
     w = Window.orderBy(F.desc("score"), F.asc("doc_int"))
     topk = (
         per_doc.orderBy(F.desc("score"), F.asc("doc_int"))
@@ -380,6 +403,30 @@ def proximity_search(
         .select("rank", "doc_int", "docid", "score", "min_dist")
         .orderBy("rank")
     )
+
+
+def phrase_match_docs(
+    index: dict[str, DataFrame],
+    phrase: list[str],
+    tf_mode: str = "true",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Scored FULL match set of a quoted phrase -> (doc_int, score,
+    n_occurrences), no rank window — the phrase analog of
+    ``query.match_docs`` for composing with facets / collapse /
+    sigterms / pagination."""
+    matched = _phrase_grouped(index, phrase, tf_mode, k1, b)
+    return matched.withColumn(
+        "score",
+        F.aggregate(
+            F.sort_array(
+                F.transform(F.col("tscores"), lambda x: x["term_score"])
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    ).select("doc_int", "score", "n_occurrences")
 
 
 def phrase_search(

@@ -146,3 +146,50 @@ def test_doc_filter_applies_to_match_frame(spark, corpus, bc_index):
         r["doc_int"] for r in full if dmap[r["doc_int"]] in kept
     }
     assert filt and len(filt) < len(full)
+
+
+def test_phrase_and_proximity_match_docs_compose(spark, corpus, bc_index):
+    """phrase/proximity match sets feed consumers too; their top-k
+    tails stay bit-equal to the search functions."""
+    from large_scale_hypertextual_search_engine_spark.operators.phrase import (
+        phrase_match_docs,
+        phrase_search,
+        proximity_match_docs,
+        proximity_search,
+    )
+
+    ph = phrase_match_docs(bc_index, ["fast", "key"]).collect()
+    want = phrase_search(bc_index, ["fast", "key"], top_k=5).collect()
+    head = sorted(ph, key=lambda r: (-r["score"], r["doc_int"]))[:5]
+    assert [(r["doc_int"], r["score"]) for r in want] == [
+        (r["doc_int"], r["score"]) for r in head
+    ]
+    assert want
+
+    pr = proximity_match_docs(bc_index, "fast", "key", slop=4).collect()
+    wantp = proximity_search(bc_index, "fast", "key", slop=4, top_k=5).collect()
+    headp = sorted(pr, key=lambda r: (-r["score"], r["doc_int"]))[:5]
+    assert [(r["doc_int"], r["score"], r["min_dist"]) for r in wantp] == [
+        (r["doc_int"], r["score"], r["min_dist"]) for r in headp
+    ]
+    assert wantp
+
+    # facets over the phrase match set == brute facet counts over docs
+    # containing the exact phrase
+    got = {
+        r["value"]: r["n_docs"]
+        for r in search_facets(
+            bc_index, phrase_match_docs(bc_index, ["fast", "key"]),
+            corpus.select("docid", "lang"), ["lang"], top_n=100,
+        ).collect()
+    }
+    counts: dict[str, int] = {}
+    for r in corpus.collect():
+        toks = [t for t in r["content"].split(" ") if t]
+        if any(
+            toks[i] == "fast" and toks[i + 1] == "key"
+            for i in range(len(toks) - 1)
+        ):
+            v = str(r["lang"]) if r["lang"] is not None else "(none)"
+            counts[v] = counts.get(v, 0) + 1
+    assert got == counts and got
