@@ -725,6 +725,22 @@ def q_lm_complete(spark, sf_dir):
     )
 
 
+def q_ngram_counts(spark, sf_dir):
+    """Corpus trigram counts (LM training-data prep): codegen window
+    transform, no self-join, one count aggregation; min_count prunes
+    the tail inside the agg."""
+    from large_scale_hypertextual_search_engine_spark.operators.lm import (
+        ngram_counts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("docid"),
+        F.col("text").alias("content"),
+    )
+    res = ngram_counts(docs, 3, min_count=3)
+    return res.select("gram", F.col("c").cast("bigint").alias("c"))
+
+
 def q_ft_ql(spark, sf_dir):
     """Dirichlet query-likelihood ranking (Zhai & Lafferty 2001,
     mu=2000): the standard LM alternative to BM25, over the same
@@ -1889,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_termvectors": q_ft_termvectors,
         "ft_suggest": q_ft_suggest,
         "lm_complete": q_lm_complete,
+        "ngram_counts": q_ngram_counts,
         "lm_quality": q_lm_quality,
         "ft_range_facet": q_ft_range_facet,
         "ltr_features": q_ltr_features,
@@ -3144,6 +3161,24 @@ SELECT t.docid,
        CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        round(p.avg_logprob, 6) AS avg_logprob
 FROM target t LEFT JOIN per p USING (docid)""",
+        "ngram_counts": """
+WITH tokp AS (
+  SELECT docid, term,
+         row_number() OVER (PARTITION BY docid ORDER BY ord) AS pos
+  FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS docid,
+           unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS ord
+    FROM documents
+  ) WHERE term <> ''
+)
+SELECT [a.term, b.term, c3.term] AS gram,
+       CAST(COUNT(*) AS BIGINT) AS c
+FROM tokp a
+JOIN tokp b ON b.docid = a.docid AND b.pos = a.pos + 1
+JOIN tokp c3 ON c3.docid = a.docid AND c3.pos = a.pos + 2
+GROUP BY 1
+HAVING COUNT(*) >= 3""",
         "lm_complete": """
 WITH tokp AS (
   SELECT docid, term,

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["train_bigram_lm", "score_docs_lm", "suggest_context", "complete_next", "save_lm", "load_lm"]
+__all__ = ["train_bigram_lm", "score_docs_lm", "suggest_context", "complete_next", "save_lm", "load_lm", "ngram_counts"]
 
 
 def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -302,3 +302,35 @@ def load_lm(spark, path: str) -> dict[str, DataFrame]:
         name: spark.read.parquet(f"{path}/{name}")
         for name in ("unigrams", "bigrams", "vocab")
     }
+
+
+def ngram_counts(
+    docs: DataFrame,
+    n: int,
+    min_count: int = 1,
+    text_col: str = "content",
+    id_col: str = "docid",
+) -> DataFrame:
+    """Corpus-wide n-gram counting -> (gram: array<string>, c), the
+    general-n sibling of ``train_bigram_lm`` (LM training-data prep,
+    collocation mining, contamination grams). One narrow tokenize
+    pass, the n-gram windows emitted by a codegen ``transform`` over
+    index slices (no self-join — position alignment is free inside
+    the row), then ONE map-side-combining count aggregation;
+    ``min_count`` prunes the long tail before it leaves the
+    aggregation."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = _doc_tokens(docs, text_col, id_col)
+    grams = toks.select(
+        F.explode(
+            F.expr(
+                f"transform(slice(toks, 1, greatest(size(toks) - {n - 1}, 0)),"
+                f" (t, i) -> slice(toks, i + 1, {n}))"
+            )
+        ).alias("gram")
+    )
+    out = grams.groupBy("gram").agg(F.count("*").alias("c"))
+    if min_count > 1:
+        out = out.filter(F.col("c") >= int(min_count))
+    return out

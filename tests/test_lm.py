@@ -159,3 +159,32 @@ def test_lm_save_load_roundtrip(spark, corpus, tmp_path):
     a = sorted(tuple(r) for r in score_docs_lm(corpus, lm).collect())
     b = sorted(tuple(r) for r in score_docs_lm(corpus, lm2).collect())
     assert a == b and a
+
+
+def test_ngram_counts_bruteforce(spark, corpus):
+    from large_scale_hypertextual_search_engine_spark.operators.lm import (
+        ngram_counts,
+    )
+
+    toks = [
+        [t for t in r["content"].split(" ") if t]
+        for r in corpus.collect()
+    ]
+    want: dict[tuple, int] = {}
+    for ts in toks:
+        for i in range(len(ts) - 2):
+            g = tuple(ts[i:i + 3])
+            want[g] = want.get(g, 0) + 1
+    got = {
+        tuple(r["gram"]): r["c"]
+        for r in ngram_counts(corpus, 3).collect()
+    }
+    assert got == want and got
+    got_pruned = ngram_counts(corpus, 3, min_count=3).collect()
+    assert all(r["c"] >= 3 for r in got_pruned)
+    assert {tuple(r["gram"]) for r in got_pruned} == {
+        g for g, c in want.items() if c >= 3
+    }
+
+    with pytest.raises(ValueError):
+        ngram_counts(corpus, 0)
