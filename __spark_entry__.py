@@ -741,6 +741,23 @@ def q_ngram_counts(spark, sf_dir):
     return res.select("gram", F.col("c").cast("bigint").alias("c"))
 
 
+def q_ft_cardinality(spark, sf_dir):
+    """Cardinality agg: distinct n_chars values the ft_bm25_and match
+    set touches (exact path; the HLL variant is the 100 TB default)."""
+    from large_scale_hypertextual_search_engine_spark.operators.facets import (
+        cardinality_facet,
+    )
+
+    meta = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("docid"), "n_chars"
+    )
+    res = cardinality_facet(
+        _index(spark, sf_dir), ["spark", "join"], meta, "n_chars",
+        mode="and",
+    )
+    return res.select(F.col("n_distinct").cast("bigint").alias("n_distinct"))
+
+
 def q_ft_ql(spark, sf_dir):
     """Dirichlet query-likelihood ranking (Zhai & Lafferty 2001,
     mu=2000): the standard LM alternative to BM25, over the same
@@ -1901,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sigterms": q_ft_sigterms,
         "ft_histogram": q_ft_histogram,
         "ft_stats_facet": q_ft_stats_facet,
+        "ft_cardinality": q_ft_cardinality,
         "ft_facets_boolean": q_ft_facets_boolean,
         "ft_termvectors": q_ft_termvectors,
         "ft_suggest": q_ft_suggest,
@@ -3296,6 +3314,14 @@ ranked AS (
   FROM counts
 )
 SELECT facet, value, n_docs, rank FROM ranked WHERE rank <= 5""",
+        "ft_cardinality": f"""
+WITH {_TOKS},
+cand AS (SELECT docid FROM toks WHERE term IN ('spark', 'join')
+         GROUP BY docid HAVING COUNT(DISTINCT term) = 2)
+SELECT CAST(COUNT(DISTINCT d.n_chars) AS BIGINT) AS n_distinct
+FROM documents d
+JOIN cand c ON c.docid = CAST(d.doc_id AS VARCHAR)
+WHERE d.n_chars IS NOT NULL""",
         "ft_stats_facet": f"""
 WITH {_TOKS},
 cand AS (SELECT docid FROM toks WHERE term IN ('spark', 'join')

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.bm25 import B, K1
 
-__all__ = ["search_facets", "histogram_facet", "range_facet", "stats_facet"]
+__all__ = ["search_facets", "histogram_facet", "range_facet", "stats_facet", "cardinality_facet"]
 
 
 def search_facets(
@@ -246,3 +246,32 @@ def stats_facet(
         F.avg("value").alias("avg"),
         F.stddev_samp("value").alias("std"),
     )
+
+
+def cardinality_facet(
+    index: dict[str, DataFrame],
+    terms: list[str] | DataFrame,
+    values: DataFrame,
+    value_col: str,
+    approx: bool = False,
+    rsd: float = 0.05,
+    mode: str = "and",
+    tf_mode: str = "true",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Elasticsearch ``cardinality`` agg: ONE row (n_distinct) — how
+    many distinct values of a metadata column the match set touches.
+    ``approx=True`` switches to Spark's HyperLogLog++
+    (``approx_count_distinct``, relative error ``rsd``) — at 100 TB
+    the exact count's distinct-shuffle moves every unique value once,
+    while the HLL sketch is a few KB per partition merged on the
+    driver path; same plan shape as ES's own cardinality agg. NULLs
+    are not values (dropped, both variants)."""
+    g = _match_values(index, terms, values, value_col, mode, tf_mode, k1, b)
+    agg = (
+        F.approx_count_distinct("value", rsd)
+        if approx
+        else F.countDistinct("value")
+    )
+    return g.agg(agg.alias("n_distinct"))

@@ -143,3 +143,21 @@ def test_stats_facet_empty_match(spark, corpus, nf_index):
         corpus.select("docid", "n_chars"), "n_chars",
     ).collect()[0]
     assert r["n_docs"] == 0 and r["min"] is None and r["std"] is None
+
+
+def test_cardinality_exact_and_approx(spark, corpus, nf_index):
+    from large_scale_hypertextual_search_engine_spark.operators.facets import (
+        cardinality_facet,
+    )
+
+    vals = _match_vals(corpus, ["spark", "join"])
+    exact = cardinality_facet(
+        nf_index, ["spark", "join"],
+        corpus.select("docid", "n_chars"), "n_chars",
+    ).collect()[0]["n_distinct"]
+    assert exact == len(set(vals)) > 0
+    approx = cardinality_facet(
+        nf_index, ["spark", "join"],
+        corpus.select("docid", "n_chars"), "n_chars", approx=True,
+    ).collect()[0]["n_distinct"]
+    assert abs(approx - exact) <= max(3, 0.15 * exact)
