@@ -758,6 +758,24 @@ def q_ft_cardinality(spark, sf_dir):
     return res.select(F.col("n_distinct").cast("bigint").alias("n_distinct"))
 
 
+def q_ft_percentiles(spark, sf_dir):
+    """Percentiles agg: interpolated n_chars quantiles of the
+    ft_bm25_and match set (exact path; percentile_approx is the
+    100 TB default)."""
+    from large_scale_hypertextual_search_engine_spark.operators.facets import (
+        percentiles_facet,
+    )
+
+    meta = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("docid"), "n_chars"
+    )
+    res = percentiles_facet(
+        _index(spark, sf_dir), ["spark", "join"], meta, "n_chars",
+        percentiles=[0.25, 0.5, 0.75, 0.95], mode="and",
+    )
+    return res.select("p", F.round("value", 6).alias("value"))
+
+
 def q_ft_ql(spark, sf_dir):
     """Dirichlet query-likelihood ranking (Zhai & Lafferty 2001,
     mu=2000): the standard LM alternative to BM25, over the same
@@ -1919,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_histogram": q_ft_histogram,
         "ft_stats_facet": q_ft_stats_facet,
         "ft_cardinality": q_ft_cardinality,
+        "ft_percentiles": q_ft_percentiles,
         "ft_facets_boolean": q_ft_facets_boolean,
         "ft_termvectors": q_ft_termvectors,
         "ft_suggest": q_ft_suggest,
@@ -3314,6 +3333,20 @@ ranked AS (
   FROM counts
 )
 SELECT facet, value, n_docs, rank FROM ranked WHERE rank <= 5""",
+        "ft_percentiles": f"""
+WITH {_TOKS},
+cand AS (SELECT docid FROM toks WHERE term IN ('spark', 'join')
+         GROUP BY docid HAVING COUNT(DISTINCT term) = 2),
+vals AS (
+  SELECT CAST(d.n_chars AS DOUBLE) AS v
+  FROM documents d
+  JOIN cand c ON c.docid = CAST(d.doc_id AS VARCHAR)
+  WHERE d.n_chars IS NOT NULL
+),
+q AS (SELECT quantile_cont(v, [0.25, 0.5, 0.75, 0.95]) AS qs FROM vals)
+SELECT CAST([0.25, 0.5, 0.75, 0.95][i] AS DOUBLE) AS p, round(val, 6) AS value
+FROM (SELECT unnest(qs) AS val, generate_subscripts(qs, 1) AS i FROM q)
+ORDER BY p""",
         "ft_cardinality": f"""
 WITH {_TOKS},
 cand AS (SELECT docid FROM toks WHERE term IN ('spark', 'join')

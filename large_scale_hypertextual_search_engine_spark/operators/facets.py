@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.bm25 import B, K1
 
-__all__ = ["search_facets", "histogram_facet", "range_facet", "stats_facet", "cardinality_facet"]
+__all__ = ["search_facets", "histogram_facet", "range_facet", "stats_facet", "cardinality_facet", "percentiles_facet"]
 
 
 def search_facets(
@@ -275,3 +275,44 @@ def cardinality_facet(
         else F.countDistinct("value")
     )
     return g.agg(agg.alias("n_distinct"))
+
+
+def percentiles_facet(
+    index: dict[str, DataFrame],
+    terms: list[str] | DataFrame,
+    values: DataFrame,
+    value_col: str,
+    percentiles: list[float] = (0.25, 0.5, 0.75, 0.95, 0.99),
+    approx: bool = False,
+    accuracy: int = 10000,
+    mode: str = "and",
+    tf_mode: str = "true",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Elasticsearch ``percentiles`` agg -> one row per requested
+    percentile (p, value), linear-interpolated (SQL ``percentile``
+    semantics). ``approx=True`` uses ``percentile_approx`` (t-digest
+    style, ``accuracy`` knob) — the 100 TB default: the exact path
+    sorts the match set's values inside one aggregation buffer, the
+    sketch keeps a bounded summary per partition. NULLs drop."""
+    ps = [float(p) for p in percentiles]
+    if not ps or any(not (0.0 <= p <= 1.0) for p in ps):
+        raise ValueError("percentiles must be in [0, 1]")
+    g = _match_values(index, terms, values, value_col, mode, tf_mode, k1, b)
+    arr = F.array(*[F.lit(p) for p in ps])
+    agg = (
+        F.percentile_approx("value", arr, F.lit(int(accuracy)))
+        if approx
+        else F.percentile("value", arr)
+    )
+    row = g.agg(agg.alias("vals"))
+    pframe = values.sparkSession.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "i int, p double"
+    )
+    return (
+        F.broadcast(pframe)
+        .join(row)
+        .select("p", F.element_at(F.col("vals"), F.col("i") + 1).alias("value"))
+        .orderBy("p")
+    )

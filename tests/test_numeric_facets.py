@@ -161,3 +161,29 @@ def test_cardinality_exact_and_approx(spark, corpus, nf_index):
         corpus.select("docid", "n_chars"), "n_chars", approx=True,
     ).collect()[0]["n_distinct"]
     assert abs(approx - exact) <= max(3, 0.15 * exact)
+
+
+def test_percentiles_bruteforce(spark, corpus, nf_index):
+    import numpy as np
+
+    from large_scale_hypertextual_search_engine_spark.operators.facets import (
+        percentiles_facet,
+    )
+
+    vals = sorted(_match_vals(corpus, ["spark", "join"]))
+    got = {
+        r["p"]: r["value"]
+        for r in percentiles_facet(
+            nf_index, ["spark", "join"],
+            corpus.select("docid", "n_chars"), "n_chars",
+            percentiles=[0.0, 0.5, 0.9, 1.0],
+        ).collect()
+    }
+    for p in (0.0, 0.5, 0.9, 1.0):
+        want = float(np.percentile(vals, p * 100, method="linear"))
+        assert got[p] == pytest.approx(want, rel=1e-9), p
+    with pytest.raises(ValueError):
+        percentiles_facet(
+            nf_index, ["spark"], corpus.select("docid", "n_chars"),
+            "n_chars", percentiles=[1.5],
+        )
