@@ -221,9 +221,22 @@ def _search_matchset_consumers(spark, idx, args) -> None:
                 f"bg={r['bg_count']:<8d} g2={r['score']:.3f}"
             )
         n_out = len(rows)
-    print(json.dumps(
-        {"latency_ms": round((_time.time() - t0) * 1000, 1), "rows": n_out}
-    ))
+    wall_ms = round((_time.time() - t0) * 1000, 1)
+    from large_scale_hypertextual_search_engine_spark.plans.lineage import (
+        record_metrics,
+    )
+
+    record_metrics(args.index, "search", [{
+        "stage": "query", "key": "latency_ms", "value": wall_ms,
+        "query": args.query,
+        "path": (
+            "collapse" if args.collapse_from
+            else "sorted" if args.sort_from
+            else "sigterms"
+        ),
+        "hits": n_out,
+    }])
+    print(json.dumps({"latency_ms": wall_ms, "rows": n_out}))
     spark.stop()
 
 
