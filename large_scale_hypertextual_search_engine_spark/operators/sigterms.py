@@ -47,6 +47,7 @@ def significant_terms(
     tf_mode: str = "true",
     k1: float = K1,
     b: float = B,
+    exclude: list[str] | None = None,
 ) -> DataFrame:
     """-> (term, fg_count, bg_count, score): the ``top_n`` terms most
     over-represented in the match set of ``terms``, scored by G².
@@ -64,10 +65,12 @@ def significant_terms(
         index, terms, mode=mode, tf_mode=tf_mode, k1=k1, b=b
     ).select("doc_int")
 
-    # exclude the query's own terms (significant by construction) —
-    # unknowable when the caller passed a pre-computed match frame
-    # (e.g. a boolean match set), so nothing is excluded then
-    exclude = [] if isinstance(terms, DataFrame) else list(dict.fromkeys(terms))
+    # exclude the query's own terms (significant by construction); for
+    # a pre-computed match frame (e.g. a boolean match set) the caller
+    # passes ``exclude`` (its positive terms) — unknowable here
+    if exclude is None:
+        exclude = [] if isinstance(terms, DataFrame) else list(terms)
+    exclude = list(dict.fromkeys(exclude))
     max_df = int(max_df_frac * n_docs)
     cand = index["postings"].filter(
         (F.col("df") >= int(min_df))

@@ -211,9 +211,18 @@ def _search_matchset_consumers(spark, idx, args) -> None:
             significant_terms,
         )
 
+        exclude = None
+        if args.boolean:
+            from large_scale_hypertextual_search_engine_spark.operators.boolsearch import (
+                _positive_terms, parse_query,
+            )
+
+            exclude = sorted(
+                _positive_terms(parse_query(args.query, analyze))
+            )
         rows = significant_terms(
             idx, match, top_n=args.sigterms_n, mode=args.mode,
-            tf_mode=args.tf_mode,
+            tf_mode=args.tf_mode, exclude=exclude,
         ).collect()
         for r in rows:
             print(

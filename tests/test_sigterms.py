@@ -127,3 +127,29 @@ def test_empty_match_set(spark, st_index):
         ).count()
         == 0
     )
+
+
+def test_explicit_exclude_with_match_frame(spark, corpus, st_index):
+    """A boolean match frame plus exclude= removes the query's own
+    positive terms from the output."""
+    from large_scale_hypertextual_search_engine_spark.operators.boolsearch import (
+        boolean_match_docs,
+    )
+
+    match = boolean_match_docs(st_index, "spark AND join")
+    rows = significant_terms(
+        st_index, match, top_n=100, min_df=1, max_df_frac=1.0,
+        exclude=["spark", "join"],
+    ).collect()
+    assert rows
+    assert all(r["term"] not in ("spark", "join") for r in rows)
+    # and the result equals the term-list form (same match set, same
+    # exclusion)
+    want = sorted(
+        tuple(r)
+        for r in significant_terms(
+            st_index, ["spark", "join"], top_n=100, min_df=1,
+            max_df_frac=1.0,
+        ).collect()
+    )
+    assert sorted(tuple(r) for r in rows) == want
