@@ -776,6 +776,29 @@ def q_ft_percentiles(spark, sf_dir):
     return res.select("p", F.round("value", 6).alias("value"))
 
 
+def q_lm_select(spark, sf_dir):
+    """CCNet head cut: keep the best 30% of the corpus by bigram-LM
+    avg_logprob — exact interpolated quantile threshold (a scalar
+    aggregate, not a corpus sort) applied as a codegen filter."""
+    from large_scale_hypertextual_search_engine_spark.operators.lm import (
+        select_by_quality,
+        train_bigram_lm,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("docid"),
+        F.col("text").alias("content"),
+    )
+    lm = train_bigram_lm(docs)
+    res = select_by_quality(docs, lm, keep_frac=0.3)
+    return res.select(
+        "docid",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+        "keep",
+    )
+
+
 def q_ft_ql(spark, sf_dir):
     """Dirichlet query-likelihood ranking (Zhai & Lafferty 2001,
     mu=2000): the standard LM alternative to BM25, over the same
@@ -1942,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_termvectors": q_ft_termvectors,
         "ft_suggest": q_ft_suggest,
         "lm_complete": q_lm_complete,
+        "lm_select": q_lm_select,
         "ngram_counts": q_ngram_counts,
         "lm_quality": q_lm_quality,
         "ft_range_facet": q_ft_range_facet,
@@ -3216,6 +3240,50 @@ JOIN tokp b ON b.docid = a.docid AND b.pos = a.pos + 1
 JOIN tokp c3 ON c3.docid = a.docid AND c3.pos = a.pos + 2
 GROUP BY 1
 HAVING COUNT(*) >= 3""",
+        "lm_select": """
+WITH tokp AS (
+  SELECT docid, term,
+         row_number() OVER (PARTITION BY docid ORDER BY ord) AS pos
+  FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS docid,
+           unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS ord
+    FROM documents
+  ) WHERE term <> ''
+),
+uni AS (SELECT term AS w, COUNT(*) AS c FROM tokp GROUP BY term),
+voc AS (SELECT COUNT(*) AS v FROM uni),
+big AS (
+  SELECT a.term AS w1, b.term AS w2, COUNT(*) AS c
+  FROM tokp a JOIN tokp b ON b.docid = a.docid AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+db AS (
+  SELECT a.docid, a.term AS w1, b.term AS w2
+  FROM tokp a JOIN tokp b ON b.docid = a.docid AND b.pos = a.pos + 1
+),
+scored AS (
+  SELECT db.docid,
+         ln((COALESCE(g.c, 0) + 1.0) / (COALESCE(u.c, 0) + 1.0 * v.v)) AS lp
+  FROM db
+  LEFT JOIN big g ON g.w1 = db.w1 AND g.w2 = db.w2
+  LEFT JOIN uni u ON u.w = db.w1
+  CROSS JOIN voc v
+),
+per0 AS (SELECT docid, COUNT(*) AS n_bigrams, AVG(lp) AS avg_logprob
+         FROM scored GROUP BY docid),
+per AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS docid,
+         CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         p.avg_logprob
+  FROM documents d LEFT JOIN per0 p ON p.docid = CAST(d.doc_id AS VARCHAR)
+),
+thr AS (SELECT quantile_cont(avg_logprob, 0.7) AS t FROM per
+        WHERE avg_logprob IS NOT NULL)
+SELECT per.docid, per.n_bigrams,
+       round(per.avg_logprob, 6) AS avg_logprob,
+       (per.avg_logprob IS NOT NULL AND per.avg_logprob >= thr.t) AS keep
+FROM per CROSS JOIN thr""",
         "lm_complete": """
 WITH tokp AS (
   SELECT docid, term,

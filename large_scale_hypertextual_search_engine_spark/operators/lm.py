@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["train_bigram_lm", "score_docs_lm", "suggest_context", "complete_next", "save_lm", "load_lm", "ngram_counts"]
+__all__ = ["train_bigram_lm", "score_docs_lm", "suggest_context", "complete_next", "save_lm", "load_lm", "ngram_counts", "select_by_quality"]
 
 
 def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -334,3 +334,38 @@ def ngram_counts(
     if min_count > 1:
         out = out.filter(F.col("c") >= int(min_count))
     return out
+
+
+def select_by_quality(
+    docs: DataFrame,
+    lm: dict[str, DataFrame],
+    keep_frac: float = 0.5,
+    k: float = 1.0,
+    text_col: str = "content",
+    id_col: str = "docid",
+) -> DataFrame:
+    """CCNet's head cut (Wenzek et al. 2020 §3.3): score every doc
+    with the bigram LM and keep the best ``keep_frac`` by
+    avg_logprob -> (docid, n_bigrams, avg_logprob, keep). The
+    threshold is the EXACT (1 - keep_frac) quantile of the scored
+    docs (one interpolated-percentile aggregate — a scalar, not a
+    sort of the corpus), applied as a codegen filter; ties at the
+    threshold keep (>=), so keep-rate can slightly exceed keep_frac
+    on heavily-tied score distributions, never undershoot. Unscorable
+    docs (< 2 tokens, NULL avg_logprob) are never kept — a doc the
+    model cannot judge is not "good"."""
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError("keep_frac must be in (0, 1]")
+    scored = score_docs_lm(docs, lm, k=k, text_col=text_col, id_col=id_col)
+    thr = scored.filter(F.col("avg_logprob").isNotNull()).agg(
+        F.percentile("avg_logprob", F.lit(1.0 - float(keep_frac))).alias("thr")
+    )
+    return (
+        scored.join(F.broadcast(thr))
+        .withColumn(
+            "keep",
+            F.col("avg_logprob").isNotNull()
+            & (F.col("avg_logprob") >= F.col("thr")),
+        )
+        .select("docid", "n_bigrams", "avg_logprob", "keep")
+    )

@@ -188,3 +188,33 @@ def test_ngram_counts_bruteforce(spark, corpus):
 
     with pytest.raises(ValueError):
         ngram_counts(corpus, 0)
+
+
+def test_select_by_quality_bruteforce(spark, corpus):
+    import numpy as np
+
+    from large_scale_hypertextual_search_engine_spark.operators.lm import (
+        select_by_quality,
+        train_bigram_lm,
+        score_docs_lm,
+    )
+
+    lm = train_bigram_lm(corpus)
+    scores = {
+        r["docid"]: r["avg_logprob"]
+        for r in score_docs_lm(corpus, lm).collect()
+    }
+    vals = sorted(v for v in scores.values() if v is not None)
+    thr = float(np.percentile(vals, 70.0, method="linear"))
+    got = {r["docid"]: r["keep"] for r in select_by_quality(
+        corpus, lm, keep_frac=0.3
+    ).collect()}
+    assert set(got) == set(scores)
+    for d, v in scores.items():
+        assert got[d] == (v is not None and v >= thr), d
+    kept = sum(got.values())
+    assert kept >= int(0.3 * len(vals)) - 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        select_by_quality(corpus, lm, keep_frac=0.0)
