@@ -1281,6 +1281,23 @@ def cmd_lm(args) -> None:
             round(float(stats["mean_logprob"]), 4)
             if stats["mean_logprob"] is not None else None
         )
+    if args.keep_frac is not None:
+        from large_scale_hypertextual_search_engine_spark.operators.lm import (
+            select_by_quality,
+        )
+
+        target = spark.read.parquet(args.score or args.train).select(
+            F.col(args.id_col).cast("string").alias("docid"),
+            F.col(args.text_col).alias("content"),
+        )
+        sel = select_by_quality(target, lm, keep_frac=args.keep_frac,
+                                k=args.smooth_k)
+        if args.out:
+            sel.write.mode("overwrite").parquet(args.out)
+            out["out"] = args.out
+        kept = sel.filter("keep").count()
+        out["kept_docs"] = int(kept)
+        out["keep_frac"] = args.keep_frac
     if args.complete:
         for r in complete_next(lm, args.complete, top_n=args.top_n).collect():
             print(f"  {args.complete} -> {r['word']}  (c={r['c']}, p={r['prob']:.4f})")
@@ -1830,6 +1847,9 @@ def main() -> None:
     p.add_argument("--complete", help="context string for next-word top-n")
     p.add_argument("--top-n", type=int, default=10)
     p.add_argument("--smooth-k", type=float, default=1.0)
+    p.add_argument("--keep-frac", type=float, default=None,
+                   help="CCNet head cut: keep the best fraction by LM "
+                        "score (writes keep flags to --out)")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.set_defaults(fn=cmd_lm)
