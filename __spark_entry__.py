@@ -61,6 +61,30 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_CACHE: dict = {}
+
+
+def _lm(spark: SparkSession, sf_dir: str) -> dict:
+    """Bigram model for the documents table, trained once per sf_dir
+    (four registry rows consume it) with the count tables cached."""
+    lm = _LM_CACHE.get(sf_dir)
+    if lm is not None:
+        return lm
+    from large_scale_hypertextual_search_engine_spark.operators.lm import (
+        train_bigram_lm,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("docid"),
+        F.col("text").alias("content"),
+    )
+    lm = train_bigram_lm(docs)
+    for k in ("unigrams", "bigrams", "vocab"):
+        lm[k] = lm[k].cache()
+    _LM_CACHE[sf_dir] = lm
+    return lm
+
+
 def _index(spark: SparkSession, sf_dir: str) -> dict:
     idx = _INDEX_CACHE.get(sf_dir)
     if idx is not None:
@@ -671,7 +695,7 @@ def q_lm_quality(spark, sf_dir):
         F.col("doc_id").cast("string").alias("docid"),
         F.col("text").alias("content"),
     )
-    lm = train_bigram_lm(docs)
+    lm = _lm(spark, sf_dir)
     target = docs.filter(F.col("docid").cast("long") % 11 == 0)
     res = score_docs_lm(target, lm, k=1.0)
     return res.select(
@@ -694,7 +718,7 @@ def q_ft_suggest(spark, sf_dir):
         F.col("doc_id").cast("string").alias("docid"),
         F.col("text").alias("content"),
     )
-    lm = train_bigram_lm(docs)
+    lm = _lm(spark, sf_dir)
     res = suggest_context(
         _index(spark, sf_dir), lm, ["fast", "sprak", "jion"], max_dist=2,
     )
@@ -717,7 +741,7 @@ def q_lm_complete(spark, sf_dir):
         F.col("doc_id").cast("string").alias("docid"),
         F.col("text").alias("content"),
     )
-    lm = train_bigram_lm(docs)
+    lm = _lm(spark, sf_dir)
     res = complete_next(lm, "tune the spark", top_n=10)
     return res.select(
         "word", F.col("c").cast("bigint").alias("c"),
@@ -789,7 +813,7 @@ def q_lm_select(spark, sf_dir):
         F.col("doc_id").cast("string").alias("docid"),
         F.col("text").alias("content"),
     )
-    lm = train_bigram_lm(docs)
+    lm = _lm(spark, sf_dir)
     res = select_by_quality(docs, lm, keep_frac=0.3)
     return res.select(
         "docid",
