@@ -660,23 +660,11 @@ def decode_postings_fast(
     return np.cumsum(vals[starts]), vals[starts + 1]
 
 
-def decode_run_slice(
-    body: bytes, block_offsets: np.ndarray, base: int = 0
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode a prefix-less run/shard slice -> (docids, tfs, flat_pos).
-
-    A shard slice (operators.wand._explode_to_shards) is a contiguous
-    byte range of whole blocks with NO doc-count prefix; the doc count
-    is discovered by the same lockstep block walk ``_record_starts``
-    uses (<= block_size iterations regardless of length). ``base`` is
-    the docid the first delta is relative to (the preceding block's
-    last_docid). ``block_offsets`` are slice-relative byte offsets of
-    each block (required — they bound the walk).
-    """
-    vals_u, gstarts = vb_decode_offsets(body)
-    vals = vals_u.astype(np.int64)
-    if vals.size == 0:
-        return (np.zeros(0, np.int64),) * 3
+def _slice_record_starts(
+    vals: np.ndarray, gstarts: np.ndarray, block_offsets: np.ndarray
+) -> np.ndarray:
+    """Doc-record start indices of a prefix-less slice via the lockstep
+    block walk (<= block_size vectorized iterations for any length)."""
     offs = np.asarray(block_offsets, dtype=np.int64)
     first = np.searchsorted(gstarts, offs)
     if (first >= gstarts.size).any() or (gstarts[first] != offs).any():
@@ -697,7 +685,41 @@ def decode_run_slice(
         k += 1
     starts = np.concatenate(starts_parts)
     order = np.lexsort((np.concatenate(iter_parts), np.concatenate(block_parts)))
-    starts = starts[order]
+    return starts[order]
+
+
+def decode_run_slice_fast(
+    body: bytes, block_offsets: np.ndarray, base: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """(docids, tfs) of a prefix-less run/shard slice — the lockstep
+    walk of :func:`decode_run_slice` without materializing positions
+    (the WAND single-term fast path only needs tf and docid)."""
+    vals_u, gstarts = vb_decode_offsets(body)
+    vals = vals_u.astype(np.int64)
+    if vals.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    starts = _slice_record_starts(vals, gstarts, block_offsets)
+    return int(base) + np.cumsum(vals[starts]), vals[starts + 1]
+
+
+def decode_run_slice(
+    body: bytes, block_offsets: np.ndarray, base: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a prefix-less run/shard slice -> (docids, tfs, flat_pos).
+
+    A shard slice (operators.wand._explode_to_shards) is a contiguous
+    byte range of whole blocks with NO doc-count prefix; the doc count
+    is discovered by the same lockstep block walk ``_record_starts``
+    uses (<= block_size iterations regardless of length). ``base`` is
+    the docid the first delta is relative to (the preceding block's
+    last_docid). ``block_offsets`` are slice-relative byte offsets of
+    each block (required — they bound the walk).
+    """
+    vals_u, gstarts = vb_decode_offsets(body)
+    vals = vals_u.astype(np.int64)
+    if vals.size == 0:
+        return (np.zeros(0, np.int64),) * 3
+    starts = _slice_record_starts(vals, gstarts, block_offsets)
     tfs = vals[starts + 1]
     docids = int(base) + np.cumsum(vals[starts])
     total_pos = int(tfs.sum())

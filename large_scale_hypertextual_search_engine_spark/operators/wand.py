@@ -175,6 +175,56 @@ class _TermCursor:
         return np.cumsum(self.vals[s + 2 : s + 2 + tf])
 
 
+def _single_term_topk(
+    row: tuple,
+    doc_len: np.ndarray,
+    avg_dl: float,
+    top_k: int,
+    tf_mode: str,
+    k1: float,
+    b: float,
+    doc_lo: int,
+    doc_hi: int | None,
+    deleted: np.ndarray | None,
+) -> list[tuple[int, float]]:
+    """Vectorized exact top-k for a ONE-term query (guide §4.2: hand the
+    whole batch to numpy instead of walking records in Python).
+
+    A single-term query has no pivot/alignment structure for WAND to
+    exploit; the per-record Python walk of the loop kernel costs more
+    than decoding everything with the lockstep block walk (<=
+    block_size vectorized iterations regardless of df) and scoring as
+    three array expressions. Bit-identical to the loop kernel: the
+    per-doc "ascending sorted FP fold" over ONE part is that part, the
+    formula is evaluated in the same float64 op order, and top-k
+    selection by lexsort((doc, -score)) is the same (score desc,
+    doc_int asc) order the heap produces.
+    """
+    idf, blob, blocks = row[0], row[1], row[2]
+    base = row[3] if len(row) > 3 else 0
+    offs = np.fromiter((bl[3] for bl in blocks), dtype=np.int64, count=len(blocks))
+    from ..functions.varbyte import decode_run_slice_fast
+
+    docids, tfs = decode_run_slice_fast(blob, offs, base)
+    hi = doc_hi if doc_hi is not None else 1 << 62
+    m = (docids >= doc_lo) & (docids < hi)
+    if deleted is not None:
+        m &= ~deleted[np.where(m, docids - doc_lo, 0)]
+    docids = docids[m]
+    if docids.size == 0:
+        return []
+    tf_eff = (
+        np.ones(docids.size, dtype=np.float64)
+        if tf_mode == "compat"
+        else tfs[m].astype(np.float64)
+    )
+    dl = doc_len[docids - doc_lo]
+    norm = k1 * ((1.0 - b) + b * (dl / avg_dl))
+    scores = idf * ((k1 + 1.0) * tf_eff) / (norm + tf_eff)
+    order = np.lexsort((docids, -scores))[: min(top_k, docids.size)]
+    return [(int(docids[i]), float(scores[i])) for i in order]
+
+
 def wand_topk_kernel(
     term_rows: list[tuple],
     doc_len: np.ndarray,
@@ -202,11 +252,17 @@ def wand_topk_kernel(
     [(doc_int, score)] sorted by (score desc, doc_int asc) —
     rank-identical to the exact path.
     """
+    live = [row for row in term_rows if row[2]]
+    if len(live) == 1:
+        # one cursor = no pivot structure; vectorized exact fast path
+        return _single_term_topk(
+            live[0], doc_len, avg_dl, top_k, tf_mode, k1, b,
+            doc_lo, doc_hi, deleted,
+        )
     cursors = [
         _TermCursor(row[0], row[1], row[2], tf_mode, k1, b, avg_dl,
                     base=row[3] if len(row) > 3 else 0)
-        for row in term_rows
-        if row[2]
+        for row in live
     ]
     if doc_lo > 0:
         for c in cursors:
@@ -380,6 +436,33 @@ def _explode_to_shards(span: int):
     return _explode
 
 
+def _auto_n_shards(spark, n_docs: int, docs_per_shard: int) -> int:
+    """Scale-adaptive shard count (guide §2: derive partitioning from
+    input size AND available parallelism, never a constant tuned for
+    one scale).
+
+    Lower bound: ``ceil(n_docs / docs_per_shard)`` — the 100 TB memory
+    bound (no task ever holds more than ``docs_per_shard`` doc
+    lengths). Upper bound: the session's default parallelism, so a
+    corpus that fits one memory-bounded shard still fans out across
+    the cores instead of running the whole kernel in ONE Python task
+    (measured: 36-query batch at 50k docs = 11.7 s single-shard,
+    ~1 s sharded) — but never shards smaller than
+    ``lshse.wand.minDocsPerShard`` docs (default 1000), which keeps
+    per-task kernel setup amortized. Shard count never changes
+    results: per-shard top-k + global merge is rank-identical by
+    construction (tests/test_wand.py multi-shard identity).
+    """
+    mem_min = max(1, -(-n_docs // docs_per_shard))
+    try:
+        par = spark.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover - session without a context
+        par = 1
+    min_docs = int(spark.conf.get("lshse.wand.minDocsPerShard", "1000"))
+    cap = max(1, n_docs // max(min_docs, 1))
+    return max(mem_min, min(par, cap))
+
+
 def _resolve_doc_filter(index, doc_filter):
     """Normalize a doc_filter frame to a distinct doc_int column (the
     same docid->doc_int mapping query.search_batch applies)."""
@@ -468,13 +551,13 @@ def wand_search(
     from .query import _stats
 
     n_docs, avg_dl = _stats(index)
+    spark = index["postings"].sparkSession
     if n_docs == 0:
-        spark = index["postings"].sparkSession
         return spark.createDataFrame(
             [], "rank int, doc_int long, docid string, score double"
         )
     if n_shards is None:
-        n_shards = max(1, -(-n_docs // docs_per_shard))
+        n_shards = _auto_n_shards(spark, n_docs, docs_per_shard)
     span = -(-n_docs // n_shards)
     dl_default = float(int(avg_dl))  # floor fallback, reference quirk Q8
 
@@ -586,7 +669,7 @@ def wand_search_batch(
             [], "query_id long, rank int, doc_int long, docid string, score double"
         )
     if n_shards is None:
-        n_shards = max(1, -(-n_docs // docs_per_shard))
+        n_shards = _auto_n_shards(spark, n_docs, docs_per_shard)
     span = -(-n_docs // n_shards)
     dl_default = float(int(avg_dl))
 
@@ -844,7 +927,7 @@ def _wand_positional_search(
                 f"{extra_name} long"
         )
     if n_shards is None:
-        n_shards = max(1, -(-n_docs // docs_per_shard))
+        n_shards = _auto_n_shards(spark, n_docs, docs_per_shard)
     span = -(-n_docs // n_shards)
     dl_default = float(int(avg_dl))
 
