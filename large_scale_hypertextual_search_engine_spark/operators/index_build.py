@@ -1084,6 +1084,46 @@ def build_postings(
     return merge_runs_to_postings(runs, partitions)
 
 
+class _LazyIndex(dict):
+    """Index-table mapping whose entries may be built on first access.
+
+    ``ids.assign_dense_ids`` runs an EAGER two-pass count of its input,
+    so constructing the lexicon at build time executes the entire
+    postings pipeline once for the term count — and the caller's first
+    postings action executes it AGAIN (measured: the whole build ran 2x
+    when only postings were written, the common case — guide §1.2,
+    "don't compute things you throw away"). The lexicon and its
+    derivatives are therefore registered as thunks resolved on first
+    access; getitem/get/membership/setitem all see them as present.
+    """
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._thunks: dict = {}
+
+    def _lazy(self, key, thunk) -> None:
+        self._thunks[key] = thunk
+
+    def _resolve(self, key) -> None:
+        if not super().__contains__(key) and key in self._thunks:
+            super().__setitem__(key, self._thunks.pop(key)())
+
+    def __getitem__(self, key):
+        self._resolve(key)
+        return super().__getitem__(key)
+
+    def get(self, key, default=None):
+        self._resolve(key)
+        return super().get(key, default)
+
+    def __contains__(self, key) -> bool:
+        return super().__contains__(key) or key in self._thunks
+
+    def __setitem__(self, key, value) -> None:
+        self._thunks.pop(key, None)
+        super().__setitem__(key, value)
+
+
 def build_index(
     docs: DataFrame,
     *,
@@ -1115,8 +1155,24 @@ def build_index(
     )
     # tokenize is narrow and carries (docid, doc_int) through the explode —
     # no join between ids and tokens, per SURVEY.md §4.3
+    tokens_src = docs_ids
+    if strategy == "salted":
+        # The id-assignment window's exchange is ENSURE_REQUIREMENTS, so
+        # AQE coalesces it by byte size — at 50k docs the ~15 MB of text
+        # packed into 7 partitions and the Python analyzer ran 7-wide on
+        # 32 cores (guide §2.5: input partitioning must be sized for the
+        # CPU-heavy kernel, not the bytes). Rebalance with a PINNED
+        # range repartition on the dense doc_int (REPARTITION_BY_NUM is
+        # exempt from coalescing; dense ints make sampling exact, so
+        # partitions are balanced and doc-contiguous). Salted-only: the
+        # salted run structure is defined by the salt column, not input
+        # partitioning, so artifacts are byte-identical — while the
+        # spimi phase-1 run structure IS its input partitioning, which
+        # stays untouched.
+        npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        tokens_src = docs_ids.repartitionByRange(npart, "doc_int")
     tokens_all = _tokenize_keep_int(
-        docs_ids, text_col, id_col, mode, stem, stopwords, remove_numbers
+        tokens_src, text_col, id_col, mode, stem, stopwords, remove_numbers
     )
     tokens = tokens_all.filter(F.col("term").isNotNull())
 
@@ -1143,31 +1199,36 @@ def build_index(
         strategy=strategy,
     )
 
-    lexicon = assign_dense_ids(
-        postings.select(
-            "term", "df", "tf", F.length("postings").alias("bytes")
-        ),
-        "term",
-        "term_id",
-    ).select(
-        "term_id",
-        "term",
-        "df",
-        "tf",
-        "bytes",
-        term_bucket_col(n_buckets),
-    )
+    def _lexicon():
+        return assign_dense_ids(
+            postings.select(
+                "term", "df", "tf", F.length("postings").alias("bytes")
+            ),
+            "term",
+            "term_id",
+        ).select(
+            "term_id",
+            "term",
+            "df",
+            "tf",
+            "bytes",
+            term_bucket_col(n_buckets),
+        )
 
-    out = {
-        "docid_map": docid_map,
-        "doc_stats": doc_stats,
-        "collection_stats": collection_stats,
-        "postings": postings,
-        "lexicon": lexicon,
-        "terms_list": lexicon.select("term", "term_id"),
-    }
+    out = _LazyIndex()
+    out["docid_map"] = docid_map
+    out["doc_stats"] = doc_stats
+    out["collection_stats"] = collection_stats
+    out["postings"] = postings
+    # lexicon id assignment is eager (two-pass count over the postings
+    # pipeline) -> built on first access, not at build time
+    out._lazy("lexicon", _lexicon)
+    out._lazy("terms_list", lambda: out["lexicon"].select("term", "term_id"))
     if with_forward_index:
-        out["forward_index_ids"] = forward_index_frame(tokens, lexicon)
+        out._lazy(
+            "forward_index_ids",
+            lambda: forward_index_frame(tokens, out["lexicon"]),
+        )
     return out
 
 
@@ -1208,25 +1269,87 @@ def _tokenize_keep_int(
     stopwords,
     remove_numbers: bool,
 ) -> DataFrame:
-    """Narrow tokenize that carries (docid, doc_int) through the explode."""
-    from ..analysis.analyzer import analyze_agg_udf
+    """Narrow tokenize that carries (docid, doc_int) through the explode.
 
-    udf = analyze_agg_udf(mode, stem, stopwords, remove_numbers)
-    analyzed = docs_ids.select(
-        F.col(id_col), F.col("doc_int"), udf(F.col(text_col)).alias("a")
-    ).select(
-        id_col,
-        "doc_int",
-        F.col("a.doc_len").alias("doc_len"),
-        F.explode_outer("a.terms").alias("t"),
+    One ``mapInArrow`` kernel emits the already-exploded (doc, term)
+    rows with natively-built Arrow arrays (list offsets + flat position
+    values), replacing the previous analyze-UDF + JVM ``explode_outer``
+    chain whose per-doc ``array<struct<term, positions>>`` rows were
+    converted element-by-element through pandas objects (guide §4.2:
+    build Arrow batches directly, don't round-trip nested Python). Rows
+    and values are identical; zero-token docs still surface as one
+    null-term row (tf=0, empty positions) so ``build_index`` keeps them
+    in doc_stats.
+    """
+    from ..analysis.analyzer import _tokens_of
+
+    def _tok(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            texts = batch.column(text_col).to_pylist()
+            ids = batch.column(id_col)
+            di = batch.column("doc_int")
+            n = len(texts)
+            counts = np.zeros(n, np.int64)
+            doc_lens = np.zeros(n, np.int64)
+            terms_out: list = []
+            tf_out: list = []
+            flat_pos: list = []
+            for i, text in enumerate(texts):
+                accd: dict = {}
+                ntok = 0
+                for term, pos, _orig in _tokens_of(
+                    text, mode, stem, stopwords, remove_numbers
+                ):
+                    lst = accd.get(term)
+                    if lst is None:
+                        accd[term] = [pos]
+                    else:
+                        lst.append(pos)
+                    ntok += 1
+                doc_lens[i] = ntok
+                if accd:
+                    counts[i] = len(accd)
+                    for t, ps in accd.items():
+                        terms_out.append(t)
+                        tf_out.append(len(ps))
+                        flat_pos.extend(ps)
+                else:
+                    # zero-token doc: one null-term marker row
+                    counts[i] = 1
+                    terms_out.append(None)
+                    tf_out.append(0)
+            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), counts))
+            tfs = np.asarray(tf_out, dtype=np.int64)
+            offsets = np.zeros(tfs.size + 1, dtype=np.int32)
+            offsets[1:] = np.cumsum(tfs)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(idx),
+                    di.take(idx),
+                    pa.array(terms_out, pa.string()),
+                    pa.ListArray.from_arrays(
+                        pa.array(offsets),
+                        pa.array(np.asarray(flat_pos, dtype=np.int32)),
+                    ),
+                    pa.array(tfs),
+                    pa.array(np.repeat(doc_lens, counts)),
+                ],
+                names=[id_col, "doc_int", "term", "positions", "tf", "doc_len"],
+            )
+
+    id_field = docs_ids.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("doc_int", LongType()),
+            StructField("term", StringType()),
+            StructField("positions", ArrayType(IntegerType())),
+            StructField("tf", LongType()),
+            StructField("doc_len", LongType()),
+        ]
     )
-    # NB: rows with null term (zero-token docs from explode_outer) are
-    # kept here; build_index filters them after deriving doc_stats
-    return analyzed.select(
-        id_col,
-        "doc_int",
-        F.col("t.term").alias("term"),
-        F.col("t.positions").alias("positions"),
-        F.size("t.positions").alias("tf"),
-        "doc_len",
+    return docs_ids.select(id_col, "doc_int", text_col).mapInArrow(
+        _tok, out_schema
     )

@@ -598,9 +598,14 @@ def wand_search(
             {"doc_int": [d for d, _ in res], "score": [s for _, s in res]}
         )
 
+    # pin the cogroup's shuffle partition count (REPARTITION_BY_NUM is
+    # exempt from AQE coalescing): the kernel is Python-CPU-heavy, and
+    # AQE's byte-based coalescing packed 32 shards onto 4 workers
+    # (measured 8x serialization) because the shard rows are "small"
+    npart = max(n_shards, shard_rows.sparkSession.sparkContext.defaultParallelism)
     topk = (
-        shard_rows.groupby("shard")
-        .cogroup(ds.groupby("shard"))
+        shard_rows.repartition(npart, "shard").groupby("shard")
+        .cogroup(ds.repartition(npart, "shard").groupby("shard"))
         .applyInPandas(_kernel, WAND_SCHEMA)
     )
     from pyspark.sql import Window
@@ -723,9 +728,14 @@ def wand_search_batch(
             }
         )
 
+    # pin the cogroup's shuffle partition count (REPARTITION_BY_NUM is
+    # exempt from AQE coalescing): the kernel is Python-CPU-heavy, and
+    # AQE's byte-based coalescing packed 32 shards onto 4 workers
+    # (measured 8x serialization) because the shard rows are "small"
+    npart = max(n_shards, shard_rows.sparkSession.sparkContext.defaultParallelism)
     topk = (
-        shard_rows.groupby("shard")
-        .cogroup(ds.groupby("shard"))
+        shard_rows.repartition(npart, "shard").groupby("shard")
+        .cogroup(ds.repartition(npart, "shard").groupby("shard"))
         .applyInPandas(_kernel, WAND_BATCH_SCHEMA)
     )
     from pyspark.sql import Window
@@ -975,9 +985,14 @@ def _wand_positional_search(
             }
         )
 
+    # pin the cogroup's shuffle partition count (REPARTITION_BY_NUM is
+    # exempt from AQE coalescing): the kernel is Python-CPU-heavy, and
+    # AQE's byte-based coalescing packed 32 shards onto 4 workers
+    # (measured 8x serialization) because the shard rows are "small"
+    npart = max(n_shards, shard_rows.sparkSession.sparkContext.defaultParallelism)
     topk = (
-        shard_rows.groupby("shard")
-        .cogroup(ds.groupby("shard"))
+        shard_rows.repartition(npart, "shard").groupby("shard")
+        .cogroup(ds.repartition(npart, "shard").groupby("shard"))
         .applyInPandas(_kernel, WAND_POS_SCHEMA)
     )
     from pyspark.sql import Window

@@ -37,15 +37,6 @@ def get_spark(
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE's coalescing floor (1 MiB/partition) assumes JVM-cheap
-        # rows; our post-shuffle stages often run Python kernels (WAND
-        # shard scoring, cogroup compaction) where one "small" 1 MiB
-        # partition is seconds of CPU — measured: the 36-query WAND
-        # cogroup coalesced 32 shards onto 4 Python workers (8x
-        # serialized). Lower the floor so coalescing respects core
-        # count; inert at scale, where real partitions dwarf either
-        # floor. AQE itself stays on.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
