@@ -74,6 +74,18 @@ def _modmul61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
     return fold(acc + t_ll)
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition UP to the session parallelism before a CPU-heavy
+    Python kernel when the input arrives in fewer partitions (guide
+    §2.5 input skew / §4: a 6 MB parquet scans as 2 splits, so the
+    signature kernel ran 2-wide on 32 cores — measured 23 s vs 2 s).
+    A no-op at scale, where scan partitions already exceed cores."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     min_group_size: int = 2,
@@ -151,23 +163,62 @@ def minhash_signatures(
     A = rng.integers(1, int(_MERSENNE), size=num_hashes, dtype=np.uint64)
     Bv = rng.integers(0, int(_MERSENNE), size=num_hashes, dtype=np.uint64)
 
+    df = _fan_out(df)
+
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # permuted hashes under the true universal family (a*h + b) mod
+        # (2^61-1), 128-bit-exact split multiply — computed over SLABS
+        # of many docs' concatenated shingles with a segmented
+        # minimum.reduceat per doc, instead of one small (H, S) matrix
+        # per doc (guide §4.2: per-doc numpy dispatch overhead dwarfed
+        # the arithmetic; values are bit-identical — same modmul inputs,
+        # same min sets).
+        # slab sized to keep one (H, slab) uint64 matrix and its
+        # _modmul61 temporaries inside per-core cache: 64 x 4096 x 8 B
+        # = 2 MB per temporary. A 256k slab was memory-bandwidth bound
+        # with 32 concurrent workers (measured 5x slower than per-doc).
+        SLAB = 1 << 12
         for batch in it:
-            out = []
-            for text in batch:
+            n = len(batch)
+            out: list = [None] * n
+            sh_parts: list = []
+            doc_idx: list = []
+            for i, text in enumerate(batch):
                 toks = [t for t in (text or "").split(" ") if t]
                 sh = _shingles(toks, shingle_k)
                 if sh.size == 0:
-                    out.append([0] * num_hashes)
-                    continue
-                # (H, S) permuted hashes under the true universal family
-                # (a*h + b) mod (2^61-1) — 128-bit-exact split multiply
-                h = np.broadcast_to(sh, (num_hashes, sh.size))
-                a = np.broadcast_to(A[:, None], h.shape)
-                vals = _modmul61(a, h) + Bv[:, None]
-                vals = np.where(vals >= _MERSENNE, vals - _MERSENNE, vals)
-                out.append([int(v) for v in vals.min(axis=1)])
+                    out[i] = [0] * num_hashes
+                else:
+                    sh_parts.append(sh)
+                    doc_idx.append(i)
+            if sh_parts:
+                lens = np.fromiter(
+                    (s.size for s in sh_parts), np.int64, len(sh_parts)
+                )
+                allsh = np.concatenate(sh_parts)
+                bounds = np.concatenate(([0], np.cumsum(lens)))
+                res = np.empty((len(sh_parts), num_hashes), np.uint64)
+                d0 = 0
+                while d0 < len(sh_parts):
+                    d1 = d0 + 1
+                    while (
+                        d1 < len(sh_parts)
+                        and bounds[d1 + 1] - bounds[d0] <= SLAB
+                    ):
+                        d1 += 1
+                    seg = allsh[bounds[d0] : bounds[d1]]
+                    h = np.broadcast_to(seg, (num_hashes, seg.size))
+                    a = np.broadcast_to(A[:, None], h.shape)
+                    vals = _modmul61(a, h) + Bv[:, None]
+                    vals = np.where(
+                        vals >= _MERSENNE, vals - _MERSENNE, vals
+                    )
+                    cuts = bounds[d0:d1] - bounds[d0]
+                    res[d0:d1] = np.minimum.reduceat(vals, cuts, axis=1).T
+                    d0 = d1
+                for j, i in enumerate(doc_idx):
+                    out[i] = res[j].astype(np.int64).tolist()
             yield pd.Series(out)
 
     return df.select(F.col(id_col), _sig(F.col(text_col)).alias("sig"))
@@ -214,16 +265,25 @@ def minhash_pairs_from_signatures(
     makes this path oracle-checkable in SQL even though the signature
     kernel itself is not SQL-expressible."""
     rows_per_band = num_hashes // bands
+    # band key = xxhash64 over the slice's long elements DIRECTLY (plus
+    # the band index): hashing columns natively replaces the previous
+    # array<string>/string double cast, which built and hashed 16 small
+    # strings per row. Any hash works here — candidates are defined by
+    # slice equality (equal slices hash equal under every function; a
+    # 64-bit collision can only ADD a candidate, at ~2^-64, and the
+    # est_jaccard filter still applies) — the DuckDB oracle checks the
+    # slice-equality semantics, not the hash value.
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        F.slice("sig", b * rows_per_band + 1, rows_per_band).cast(
-                            "array<string>"
-                        ).cast("string"),
                         F.lit(b),
+                        *[
+                            F.col("sig")[b * rows_per_band + i]
+                            for i in range(rows_per_band)
+                        ],
                     )
                     for b in range(bands)
                 ]
@@ -238,8 +298,14 @@ def minhash_pairs_from_signatures(
     # memory, hash join beyond.
     left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    # the bucket self-join must NOT broadcast: both sides are the same
+    # size (rows x bands), and the planner's estimate sat under the
+    # session broadcast threshold — building an 800k-row hash relation
+    # on the driver cost more than the join itself (measured 7.5 s ->
+    # 3.4 s). shuffle_hash keeps a per-partition build, the right
+    # strategy at every scale for an equal-sided equi-join.
     pair_ids = (
-        left.join(right, ["band", "band_hash"])
+        left.hint("shuffle_hash").join(right, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -303,7 +369,9 @@ def simhash_near_pairs(
     """SimHash near-dup pairs: bucket by n_tables 16-bit slices (a pair
     within Hamming<=3 of a 64-bit hash agrees on >=1 of 4 slices by
     pigeonhole), join within buckets, verify exact Hamming distance."""
-    sh = df.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("simhash"))
+    sh = _fan_out(df).select(
+        F.col(id_col), simhash_udf()(F.col(text_col)).alias("simhash")
+    )
     return simhash_pairs_from_hashes(sh, id_col, max_hamming, n_tables)
 
 
@@ -336,7 +404,9 @@ def simhash_pairs_from_hashes(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "tbl", "key"
     )
     cand = (
-        left.join(right, ["tbl", "key"])
+        # equal-sided bucket self-join: per-partition hash build, never
+        # a driver broadcast of the full slice table (see minhash)
+        left.hint("shuffle_hash").join(right, ["tbl", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "h_a", "h_b")
         .distinct()
@@ -411,6 +481,7 @@ def embedding_cosine_pairs(
         )
         pair_ids = (
             sliced.select(F.col("id").alias("id_a"), "tbl", "key")
+            .hint("shuffle_hash")
             .join(
                 sliced.select(F.col("id").alias("id_b"), "tbl", "key"),
                 ["tbl", "key"],
