@@ -226,13 +226,23 @@ def related_docs(
         decode_postings_df(index["postings"].join(sel_terms, "term", "semi")),
     )
 
+    # per-(term, doc) BM25 term score computed BEFORE the query join:
+    # the score depends only on (tf, df, dl), so evaluating it on the
+    # |selected terms' postings| decoded rows instead of after the
+    # |sources x terms x df| explosion does ~|sources|x less arithmetic
+    # and lets every exploded row carry ONE double instead of
+    # (term, tf, df, dl). Values are bit-identical — same expression,
+    # same float64 inputs, evaluated earlier in the plan.
     doc_stats = index["doc_stats"].select("doc_int", "doc_len")
     tf_eff = F.lit(1.0) if tf_mode == "compat" else F.col("tf").cast("double")
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    cand = (
-        decoded.join(queries, "term")
-        .filter(F.col("doc_int") != F.col("src_doc_int"))
-        .repartition(npart, "src_docid")
+    scored = (
+        # fan the decoded rows out before the broadcast query join: the
+        # pruned postings scan packs into a couple of tasks, and the
+        # candidate explosion + shuffle write would otherwise run
+        # 2-wide on 32 cores (guide §2.5). Pinned round-robin; the
+        # decoded frame is small (Σ df of the selected terms).
+        decoded.repartition(npart)
         .join(doc_stats, "doc_int", "left")
         .withColumn(
             "dl",
@@ -240,30 +250,48 @@ def related_docs(
                 "double"
             ),
         )
-        .withColumn(
-            "term_score",
+        .select(
+            "term",
+            "doc_int",
             bm25_score(
                 tf_eff, F.col("df"), F.col("dl"),
                 F.lit(float(n_docs)), F.lit(avg_dl), k1, b,
-            ),
+            ).alias("term_score"),
         )
     )
-    per_pair = cand.groupBy("src_docid", "doc_int").agg(
+    # explosion join + per-pair fold, keyed by the SOURCE's dense int
+    # (8 bytes through the one wide exchange instead of the docid
+    # string); src_docid is re-attached to the tiny top-k at the end
+    cand = (
+        scored.join(queries.select("src_doc_int", "term"), "term")
+        .filter(F.col("doc_int") != F.col("src_doc_int"))
+        .select("src_doc_int", "doc_int", "term_score")
+        .repartition(npart, "src_doc_int")
+    )
+    per_pair = cand.groupBy("src_doc_int", "doc_int").agg(
         F.aggregate(
             F.sort_array(F.collect_list("term_score")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         ).alias("score")
     )
-    wtop = Window.partitionBy("src_docid").orderBy(
+    wtop = Window.partitionBy("src_doc_int").orderBy(
         F.desc("score"), F.asc("doc_int")
     )
     topk = (
         per_pair.withColumn("rank", F.row_number().over(wtop))
         .filter(F.col("rank") <= top_k)
     )
+    with_src = F.broadcast(topk).join(
+        index["docid_map"].select(
+            F.col("doc_int").alias("src_doc_int"),
+            F.col("docid").alias("src_docid"),
+        ),
+        "src_doc_int",
+    )
     return (
-        topk.join(index["docid_map"], "doc_int")
+        F.broadcast(with_src)
+        .join(index["docid_map"], "doc_int")
         .select(
             "src_docid", F.col("rank").cast("int").alias("rank"),
             "docid", "score",
