@@ -151,10 +151,14 @@ def contamination_report(
     (Brown et al. use n=13, min_overlap=1).  Output volume is bounded
     by the number of contaminated docs, never the corpus.
     """
+    from .fanout import fan_out
+
     bench = benchmark_grams(
         benchmark, n, benchmark_text_col or text_col
     )
-    grams = _gram_frame(docs, text_col, [id_col], n)
+    # per-gram hashing is the heavy narrow stage; a small corpus scan
+    # packs into a couple of splits and serializes it (guide §2.5)
+    grams = _gram_frame(fan_out(docs), text_col, [id_col], n)
     exploded = grams.select(
         id_col,
         F.size("grams").cast("long").alias("total_grams"),

@@ -74,16 +74,9 @@ def _modmul61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
     return fold(acc + t_ll)
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Repartition UP to the session parallelism before a CPU-heavy
-    Python kernel when the input arrives in fewer partitions (guide
-    §2.5 input skew / §4: a 6 MB parquet scans as 2 splits, so the
-    signature kernel ran 2-wide on 32 cores — measured 23 s vs 2 s).
-    A no-op at scale, where scan partitions already exceed cores."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+# fan-out before the CPU-heavy signature kernels: a 6 MB parquet scans
+# as 2 splits, so the kernel ran 2-wide on 32 cores (23 s vs 2 s)
+from .fanout import fan_out as _fan_out
 
 
 def exact_duplicates(

@@ -84,10 +84,15 @@ def pagerank(
     ).localCheckpoint(eager=True)
 
     for _ in range(n_iter):
-        dm = (
+        # dangling mass as a broadcast 1-row scalar INSIDE the
+        # iteration plan: a separate .collect() per iteration doubled
+        # the job count (guide §5: the driver should do no data work —
+        # and every extra action pays the fixed job floor). Arithmetic
+        # is unchanged: dm/n is the same float64 division, evaluated in
+        # the JVM instead of the driver.
+        dm_df = (
             ranks.join(dangling_ids, "id", "semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
         )
         contribs = (
             ew.join(ranks.withColumnRenamed("id", "src"), "src")
@@ -97,12 +102,16 @@ def pagerank(
         )
         new_ranks = (
             nodes.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+            .join(F.broadcast(dm_df))
             .select(
                 "id",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dm / n))
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("__dm") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)

@@ -59,9 +59,16 @@ def quality_features(
 ) -> DataFrame:
     """Add quality-scoring features per doc — all codegen expressions:
     n_chars, n_tokens, avg_token_len, stopword_ratio, alpha_ratio,
-    distinct_ratio (type-token ratio)."""
-    toks = tokens_col(F.col(text_col))
+    distinct_ratio (type-token ratio).
+
+    The token split is bound to its own projected column so the five
+    features reference ONE evaluation instead of inlining the
+    split+filter expression into each interpreted lambda (the same
+    re-evaluation trap decontam.ngram_hashes_col documents; an alias
+    referenced more than once is not collapsed into consumers)."""
     sw = F.array(*[F.lit(s) for s in stopwords])
+    toks = F.col("__toks")
+    df = df.withColumn("__toks", tokens_col(F.col(text_col)))
     return (
         df.withColumn("n_chars", F.length(text_col).cast("long"))
         .withColumn("n_tokens", F.size(toks).cast("long"))
@@ -90,6 +97,7 @@ def quality_features(
                 F.size(F.array_distinct(toks)) / F.size(toks),
             ).otherwise(F.lit(0.0)),
         )
+        .drop("__toks")
     )
 
 
