@@ -362,9 +362,15 @@ def test_related_docs_no_funnel_semi_join_prune(spark, small_index):
     win_lines = [l for l in plan.splitlines() if "Window" in l]
     assert win_lines
     for l in win_lines:
-        assert "src_docid" in l, l  # every window is source-partitioned
+        # every window is source-partitioned (term selection by
+        # src_docid; the scoring top-k by the dense src_doc_int key
+        # that rides the wide exchange since r6)
+        assert "src_docid" in l or "src_doc_int" in l, l
     assert "LeftSemi" in plan, plan
-    assert plan.count("REPARTITION_BY_NUM") == 1, plan
+    # two pinned exchanges since r6: the decode fan-out (round-robin,
+    # so the candidate explosion runs at full width) and the src-keyed
+    # exchange feeding the scoring agg + rank window
+    assert plan.count("REPARTITION_BY_NUM") == 2, plan
 
 
 def test_collapse_heads_are_aggregate_not_window(spark, small_index):
