@@ -65,53 +65,69 @@ def decode_postings_positions_df(
 ) -> DataFrame:
     """postings table -> (term, df, doc_int, tf, positions) rows.
 
-    Same Arrow-batched shape as ``query.decode_postings_df`` but runs
-    the full-position decode (positions ride as one list column, split
-    from the kernel's flat array by tf — no per-position python)."""
+    Same term-pruned shape as ``query.decode_postings_df`` but with the
+    full-position decode. One ``mapInArrow`` kernel builds the output
+    batch natively — the positions column is a single Arrow ListArray
+    over the kernel's flat positions with tf-cumsum offsets (guide
+    §4.2: no pandas object arrays, no per-doc ``np.split``)."""
     src = postings
     if terms is not None:
         src = src.filter(F.col("term").isin(list(terms)))
     has_blocks = "blocks" in postings.columns
 
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            frames = []
-            blockss = pdf["blocks"] if has_blocks else [None] * len(pdf)
-            for term, df_, blob, blocks in zip(
-                pdf["term"], pdf["df"], pdf["postings"], blockss
-            ):
+    def _decode(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            terms_a = batch.column("term")
+            dfs = batch.column("df").to_numpy(zero_copy_only=False)
+            blobs = batch.column("postings")
+            blockss = (
+                batch.column("blocks").to_pylist()
+                if has_blocks
+                else [None] * batch.num_rows
+            )
+            t_parts, df_parts, d_parts, tf_parts, p_parts = [], [], [], [], []
+            for i in range(batch.num_rows):
+                blocks = blockss[i]
                 offs = (
                     np.array([b["offset"] for b in blocks], dtype=np.int64)
                     if blocks is not None
                     else None
                 )
-                docids, tfs, flat_pos = decode_postings(bytes(blob), offs)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "term": np.repeat(term, docids.size),
-                            "df": np.repeat(np.int64(df_), docids.size),
-                            "doc_int": docids,
-                            "tf": tfs,
-                            "positions": np.split(flat_pos, np.cumsum(tfs)[:-1]),
-                        }
-                    )
+                docids, tfs, flat_pos = decode_postings(
+                    blobs[i].as_py(), offs
                 )
-            if not frames:
-                yield pd.DataFrame(
-                    {
-                        "term": pd.Series([], dtype=object),
-                        "df": pd.Series([], dtype="int64"),
-                        "doc_int": pd.Series([], dtype="int64"),
-                        "tf": pd.Series([], dtype="int64"),
-                        "positions": pd.Series([], dtype=object),
-                    }
-                )
+                n = docids.size
+                t_parts.append(np.full(n, i, dtype=np.int64))
+                df_parts.append(np.full(n, dfs[i], dtype=np.int64))
+                d_parts.append(docids)
+                tf_parts.append(tfs)
+                p_parts.append(flat_pos)
+            if not t_parts:
                 continue
-            yield pd.concat(frames, ignore_index=True)
+            tfs_all = np.concatenate(tf_parts)
+            offsets = np.zeros(tfs_all.size + 1, dtype=np.int64)
+            offsets[1:] = np.cumsum(tfs_all)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    terms_a.take(pa.array(np.concatenate(t_parts))),
+                    pa.array(np.concatenate(df_parts)),
+                    pa.array(np.concatenate(d_parts)),
+                    pa.array(tfs_all),
+                    pa.LargeListArray.from_arrays(
+                        pa.array(offsets),
+                        pa.array(np.concatenate(p_parts)),
+                    ).cast(pa.list_(pa.int64())),
+                    # ^ large offsets during build (a hot term's flat
+                    # positions can exceed int32 rows), cast to the
+                    # declared list<int64> for the schema
+                ],
+                names=["term", "df", "doc_int", "tf", "positions"],
+            )
 
     cols = ["term", "df", "postings"] + (["blocks"] if has_blocks else [])
-    return src.select(*cols).mapInPandas(_decode, POS_DECODED_SCHEMA)
+    return src.select(*cols).mapInArrow(_decode, POS_DECODED_SCHEMA)
 
 
 def _phrase_grouped(

@@ -324,7 +324,7 @@ def test_boolean_plan_shape(spark, tmp_path_factory):
         )
         # decode kernel runs exactly once; candidates shuffle exactly
         # once (the doc_int repartition reused by both agg levels)
-        assert len(re.findall(r"MapInPandas", plan)) == 1, (q, plan)
+        assert len(re.findall(r"MapInPandas|MapInArrow", plan)) == 1, (q, plan)
         assert len(re.findall(r"REPARTITION_BY_NUM", plan)) == 1, (q, plan)
         assert "SortMergeJoin" not in plan, (q, plan)
         scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
@@ -463,6 +463,6 @@ def test_batch_plan_single_exchange(spark, tmp_path_factory):
         .executedPlan()
         .toString()
     )
-    assert len(re.findall(r"MapInPandas", plan)) == 1, plan
+    assert len(re.findall(r"MapInPandas|MapInArrow", plan)) == 1, plan
     assert len(re.findall(r"REPARTITION_BY_NUM", plan)) == 1, plan
     assert "SortMergeJoin" not in plan, plan

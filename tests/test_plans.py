@@ -58,7 +58,7 @@ def test_search_batch_single_decode_single_repartition(spark, small_index):
     plan = _plan(search_batch(small_index, q, top_k=5))
     # the decode kernel must run exactly once (round-1 bug: a second
     # aggregate forced the whole decode to execute twice)
-    assert len(re.findall(r"MapInPandas", plan)) == 1, plan
+    assert len(re.findall(r"MapInPandas|MapInArrow", plan)) == 1, plan
     # the decoded-candidates frame crosses the wire exactly once: the
     # explicit query_id repartition that serves both the per-doc agg
     # and the final top-k window
@@ -110,7 +110,7 @@ def test_phrase_search_plan_shape(spark, small_index):
     )
 
     plan = _plan(phrase_search(small_index, ["the", "and"], top_k=5))
-    assert len(re.findall(r"MapInPandas", plan)) == 1, plan
+    assert len(re.findall(r"MapInPandas|MapInArrow", plan)) == 1, plan
     scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
     assert any("term" in l and " IN " in l for l in scan_lines), scan_lines
     assert "BroadcastHashJoin" in plan, plan
@@ -130,7 +130,7 @@ def test_phrase_search_batch_plan_shape(spark, small_index):
             small_index, {1: ["the", "and"], 2: ["the"]}, top_k=5
         )
     )
-    assert len(re.findall(r"MapInPandas", plan)) == 1, plan
+    assert len(re.findall(r"MapInPandas|MapInArrow", plan)) == 1, plan
     assert len(re.findall(r"REPARTITION_BY_NUM", plan)) == 1, plan
     assert "SortMergeJoin" not in plan, plan
 
@@ -151,7 +151,7 @@ def test_facets_single_aggregation_exchange(spark, small_index):
     )
     assert len(re.findall(r"Generate explode", plan)) == 1, plan
     # one decode of the postings total (the membership pass)
-    assert len(re.findall(r"MapInPandas", plan)) == 1, plan
+    assert len(re.findall(r"MapInPandas|MapInArrow", plan)) == 1, plan
 
 
 def test_bm25f_decodes_once_per_field(spark, small_index, tmp_path_factory):
@@ -178,7 +178,7 @@ def test_bm25f_decodes_once_per_field(spark, small_index, tmp_path_factory):
             ["the"], top_k=5,
         )
     )
-    assert len(re.findall(r"MapInPandas", plan)) == 2, plan
+    assert len(re.findall(r"MapInPandas|MapInArrow", plan)) == 2, plan
     assert "SortMergeJoin" not in plan, plan
 
 
@@ -201,7 +201,7 @@ def test_federated_decodes_once_per_segment(spark, small_index, tmp_path_factory
     plan = _plan(
         search_federated([small_index, seg2], ["the"], top_k=5, mode="or")
     )
-    assert len(re.findall(r"MapInPandas", plan)) == 2, plan
+    assert len(re.findall(r"MapInPandas|MapInArrow", plan)) == 2, plan
     # one candidate exchange: the explicit doc_int repartition
     assert len(re.findall(r"REPARTITION_BY_NUM", plan)) == 1, plan
 
@@ -229,7 +229,7 @@ def test_match_docs_has_no_rank_window(spark, small_index):
         plan = _plan(match_docs(small_index, ["the", "and"], mode=mode))
         assert "Window" not in plan, plan
         assert "REPARTITION_BY_NUM" not in plan, plan
-        assert len(re.findall(r"MapInPandas", plan)) == 1, plan
+        assert len(re.findall(r"MapInPandas|MapInArrow", plan)) == 1, plan
 
 
 def test_facets_no_single_partition_window(spark, small_index):
