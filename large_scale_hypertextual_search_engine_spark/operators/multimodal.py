@@ -536,6 +536,12 @@ def decode_media(
     content-hash-seeded pixel buffer with the IDENTICAL output schema
     and batch shape (contract-tested), so downstream plumbing
     (featurizers, ANN over image embeddings) runs codec-free."""
+    from .fanout import fan_out
+
+    # per-row decode is the heaviest kernel in the engine; a handful of
+    # media files scan as few splits, so fan the rows out to the cores
+    # (identity at scale — guide §2.5)
+    df = fan_out(df)
     w, h = target_size
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

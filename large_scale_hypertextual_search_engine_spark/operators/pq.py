@@ -148,7 +148,9 @@ def pq_encode(
                 {id_col: pdf[id_col], "codes": list(codes)}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(_enc, schema)
+    from .fanout import fan_out
+
+    return fan_out(df.select(id_col, vec_col)).mapInPandas(_enc, schema)
 
 
 def pq_search(

@@ -42,9 +42,11 @@ def term_vectors(
     ``build_index``."""
     from ..analysis.analyzer import analyze_agg_udf
 
+    from .fanout import fan_out
+
     udf = analyze_agg_udf(mode, stem, stopwords, remove_numbers)
     return (
-        docs.select(
+        fan_out(docs).select(
             F.col(id_col).cast("string").alias("docid"),
             udf(F.col(text_col)).alias("a"),
         )
