@@ -148,6 +148,12 @@ def suggest_context(
     decoration: with an unseen continuation, add-k alone PREFERS rare
     candidates (their smoothing denominator c(cand) + kV is smaller) —
     observed as "teh -> def" beating "teh -> the" before the prior.
+    NB (ADVICE r5): the prior's numerator is the INDEX lexicon's tf and
+    its denominator the LM's unigram total, so the ranking assumes the
+    LM was trained on the same corpus slice with the same
+    (whitespace-compatible) analyzer as the index — train the LM on
+    the indexed corpus (the CLI default) or expect the prior to be an
+    unnormalized score rather than a probability.
     Ties break (dist asc, tf desc, term asc) — the context-free order
     ``correct_terms`` uses. In-vocabulary words are never "corrected".
 

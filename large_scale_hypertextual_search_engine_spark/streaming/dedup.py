@@ -25,6 +25,18 @@ from pyspark.sql import DataFrame, Window, functions as F
 __all__ = ["dedup_stream"]
 
 
+def _run_key(checkpoint_dir: str) -> str:
+    """Stable identity of one logical stream run: batch ids are only
+    unique within a checkpoint lineage, so the idempotent per-batch
+    partition is keyed (run=<hash of checkpoint>, batch_id=N) — a
+    driver restart resuming the same checkpoint overwrites its own
+    partition (retry-idempotent), while a NEW run with a new
+    checkpoint appends alongside prior runs' output."""
+    import hashlib
+
+    return hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:12]
+
+
 def dedup_stream(
     docs_stream: DataFrame,
     out_dir: str,
@@ -34,9 +46,15 @@ def dedup_stream(
     trigger_available_now: bool = True,
 ):
     """Emit each distinct content exactly once across ALL batches and
-    runs: survivors append to ``out_dir`` (docid, content,
-    content_sha), their hashes to ``seen_dir``. ``hash_col`` names a
-    precomputed hash column; default recomputes sha256(content).
+    runs: survivors land under ``out_dir`` (docid, content,
+    content_sha) and their hashes under ``seen_dir``, one
+    ``run=<checkpoint-hash>/batch_id=N`` partition per micro-batch
+    written with OVERWRITE so
+    a retried batch rewrites its own output instead of re-appending it
+    (idempotent sink; with a replayable source + checkpoint this makes
+    the exactly-once claim hold under failure, not just on the happy
+    path). ``hash_col`` names a precomputed hash column; default
+    recomputes sha256(content).
     First-seen wins; within a batch, the lexicographically smallest
     docid of a duplicate group is the canonical copy."""
 
@@ -55,16 +73,32 @@ def dedup_stream(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        try:
-            seen = spark.read.parquet(seen_dir).select("content_sha")
-        except Exception:
-            seen = None
+        # only the MISSING-path case means "no seen set yet"; a corrupt
+        # footer or a transient FS error must fail the batch loudly
+        # instead of silently disabling dedup for it (ADVICE r5)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(seen_dir)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        seen = (
+            spark.read.parquet(seen_dir).select("content_sha")
+            if fs.exists(jpath)
+            else None
+        )
         if seen is not None:
             hashed = hashed.join(seen, "content_sha", "left_anti")
         kept = hashed.select("docid", "content", "content_sha").cache()
         if kept.take(1):
-            kept.write.mode("append").parquet(out_dir)
-            kept.select("content_sha").write.mode("append").parquet(seen_dir)
+            # per-batch overwrite makes the sink idempotent under
+            # micro-batch RETRY (ADVICE r5): a replayed batch rewrites
+            # its own batch_id=N directory instead of re-appending the
+            # same survivors. Structured Streaming replays a batch id
+            # with the same data (replayable source + checkpoint), so
+            # exactly-once of the OUTPUT holds; readers of out_dir see
+            # batch_id as an extra partition column.
+            sub = f"run={_run_key(checkpoint_dir)}/batch_id={int(batch_id)}"
+            kept.write.mode("overwrite").parquet(f"{out_dir}/{sub}")
+            kept.select("content_sha").write.mode("overwrite").parquet(
+                f"{seen_dir}/{sub}"
+            )
         kept.unpersist()
 
     writer = docs_stream.writeStream.foreachBatch(_process).option(

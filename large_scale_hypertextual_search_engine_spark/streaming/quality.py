@@ -53,7 +53,15 @@ def filter_stream_by_quality(
             )
             .select("docid", "content", "n_bigrams", "avg_logprob")
         )
-        kept.write.mode("append").parquet(out_dir)
+        # per-batch overwrite: a retried micro-batch rewrites its own
+        # batch_id=N partition instead of re-appending survivors
+        # (idempotent sink, ADVICE r5; same pattern as dedup_stream)
+        from .dedup import _run_key
+
+        kept.write.mode("overwrite").parquet(
+            f"{out_dir}/run={_run_key(checkpoint_dir)}"
+            f"/batch_id={int(batch_id)}"
+        )
 
     writer = docs_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

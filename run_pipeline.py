@@ -1249,6 +1249,15 @@ def cmd_lm(args) -> None:
         train_bigram_lm,
     )
 
+    if not args.lm and not args.train:
+        raise SystemExit("lm: pass --train CORPUS or --lm SAVED_LM")
+    if args.out and args.score and args.keep_frac is not None:
+        # both branches would write the SAME --out path; the selection
+        # write silently clobbered the scoring output (ADVICE r5)
+        raise SystemExit(
+            "lm: --score and --keep-frac both write --out; run them "
+            "separately (or drop --out from one)"
+        )
     spark = _spark("lshse-lm")
     t0 = time.time()
     if args.lm:
