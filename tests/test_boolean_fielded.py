@@ -269,7 +269,7 @@ def test_fielded_plan_shape(spark, fielded):
         fielded, WEIGHTS, 'title:alpha AND body:"gamma delta"', top_k=5
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert len(_re.findall(r"MapInPandas", plan)) == 2, plan
+    assert len(_re.findall(r"MapIn(?:Pandas|Arrow) _decode", plan)) == 2, plan
     # exactly one query-side candidate exchange (the doc_int hash
     # repartition); the in-memory index-build subtree has its own
     # exchanges, so count only the doc_int one
