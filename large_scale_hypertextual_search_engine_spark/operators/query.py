@@ -66,39 +66,49 @@ def decode_postings_df(
 
     has_blocks = "blocks" in postings.columns
 
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_term, out_df, out_doc, out_tf = [], [], [], []
-            blockss = pdf["blocks"] if has_blocks else [None] * len(pdf)
-            for term, df_, blob, blocks in zip(
-                pdf["term"], pdf["df"], pdf["postings"], blockss
-            ):
+    def _decode(batches):
+        # native-Arrow output (guide §4.2): the term column is built by
+        # dictionary-style `take` on the input batch's term array — no
+        # per-posting Python string objects (np.repeat over a string
+        # made a df-sized object array per term before)
+        import pyarrow as pa
+
+        for batch in batches:
+            terms_a = batch.column("term")
+            dfs = batch.column("df").to_numpy(zero_copy_only=False)
+            blobs = batch.column("postings")
+            blockss = (
+                batch.column("blocks").to_pylist()
+                if has_blocks
+                else [None] * batch.num_rows
+            )
+            idx_parts, df_parts, d_parts, tf_parts = [], [], [], []
+            for i in range(batch.num_rows):
+                blocks = blockss[i]
                 offs = (
                     np.array([b["offset"] for b in blocks], dtype=np.int64)
                     if blocks is not None
                     else None
                 )
-                docids, tfs = decode_postings_fast(bytes(blob), offs)
-                out_term.append(np.repeat(term, docids.size))
-                out_df.append(np.repeat(df_, docids.size))
-                out_doc.append(docids)
-                out_tf.append(tfs)
-            if not out_term:
-                yield pd.DataFrame(
-                    {"term": [], "df": [], "doc_int": [], "tf": []}
-                ).astype({"df": "int64", "doc_int": "int64", "tf": "int64"})
+                docids, tfs = decode_postings_fast(blobs[i].as_py(), offs)
+                idx_parts.append(np.full(docids.size, i, dtype=np.int64))
+                df_parts.append(np.full(docids.size, dfs[i], dtype=np.int64))
+                d_parts.append(docids)
+                tf_parts.append(tfs)
+            if not idx_parts:
                 continue
-            yield pd.DataFrame(
-                {
-                    "term": np.concatenate(out_term),
-                    "df": np.concatenate(out_df).astype(np.int64),
-                    "doc_int": np.concatenate(out_doc),
-                    "tf": np.concatenate(out_tf),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    terms_a.take(pa.array(np.concatenate(idx_parts))),
+                    pa.array(np.concatenate(df_parts)),
+                    pa.array(np.concatenate(d_parts)),
+                    pa.array(np.concatenate(tf_parts)),
+                ],
+                names=["term", "df", "doc_int", "tf"],
             )
 
     cols = ["term", "df", "postings"] + (["blocks"] if has_blocks else [])
-    return src.select(*cols).mapInPandas(_decode, DECODED_SCHEMA)
+    return src.select(*cols).mapInArrow(_decode, DECODED_SCHEMA)
 
 
 def prune_buckets(index: dict[str, DataFrame], terms: list[str]) -> DataFrame:
