@@ -1,6 +1,8 @@
 """Best-window snippets: brute-force parity, tie-breaks, short docs,
 end-to-end search_snippets, and plan shape (pure JVM, broadcast-only)."""
 
+import re
+
 import pytest
 
 from large_scale_hypertextual_search_engine_spark.operators.snippet import (
@@ -116,4 +118,4 @@ def test_plan_pure_jvm_broadcast_only(spark, corpus):
     assert "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan  # hits are broadcast into the scan
     # exactly the one decode kernel from the underlying search()
-    assert plan.count("MapInPandas") == 1
+    assert len(re.findall(r"MapIn(?:Pandas|Arrow) _decode", plan)) == 1
