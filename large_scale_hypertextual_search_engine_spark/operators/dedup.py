@@ -128,8 +128,58 @@ def _shingles(tokens: list[str], k: int) -> np.ndarray:
     if not tokens:
         return np.empty(0, dtype=np.uint64)
     th = np.array([hash_token(t) for t in tokens], dtype=np.uint64)
-    kk = min(k, len(tokens))
-    n_out = len(tokens) - kk + 1
+    return _shingles_from_hashes(th, k)
+
+
+def _shingles_batch(th_list: list, k: int) -> list:
+    """Per-doc shingle-hash arrays for MANY docs in one vectorized
+    rolling pass (guide §4.2: ~75 tiny numpy dispatches per doc in
+    :func:`_shingles` dominated the signature kernel). Docs with >= k
+    tokens share one concatenated recurrence — windows that straddle a
+    doc boundary are computed and discarded by mask, so every kept
+    value sees exactly the ops :func:`_shingles` applies (elementwise
+    _modmul61 → bit-identical); docs shorter than k keep the per-doc
+    collapsed-shingle path (rare)."""
+    n = len(th_list)
+    out: list = [None] * n
+    long_idx = []
+    for i, th in enumerate(th_list):
+        if th.size == 0:
+            out[i] = np.empty(0, dtype=np.uint64)
+        elif th.size < k:
+            out[i] = _shingles_from_hashes(th, k)
+        else:
+            long_idx.append(i)
+    if not long_idx:
+        return out
+    lens = np.fromiter(
+        (th_list[i].size for i in long_idx), np.int64, len(long_idx)
+    )
+    total = int(lens.sum())
+    th_all = np.concatenate(
+        [th_list[i] for i in long_idx]
+        + [np.zeros(k - 1, dtype=np.uint64)]
+    )
+    acc = np.zeros(total, dtype=np.uint64)
+    base = np.broadcast_to(_SHINGLE_BASE, (total,))
+    for j in range(k):
+        acc = _modmul61(base, acc) + th_all[j : j + total]
+        acc = np.where(acc >= _MERSENNE, acc - _MERSENNE, acc)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    w = lens - k + 1  # valid windows per doc
+    acc_valid = acc[pos_in_doc < np.repeat(w, lens)]
+    vb = np.concatenate(([0], np.cumsum(w)))
+    for j, i in enumerate(long_idx):
+        out[i] = acc_valid[vb[j] : vb[j + 1]]
+    return out
+
+
+def _shingles_from_hashes(th: np.ndarray, k: int) -> np.ndarray:
+    """:func:`_shingles`' rolling polynomial over precomputed token
+    hashes (shared by the batched and per-doc paths)."""
+    kk = min(k, th.size)
+    n_out = th.size - kk + 1
     acc = np.zeros(n_out, dtype=np.uint64)
     base = np.broadcast_to(_SHINGLE_BASE, (n_out,))
     for j in range(kk):
@@ -177,9 +227,18 @@ def minhash_signatures(
             out: list = [None] * n
             sh_parts: list = []
             doc_idx: list = []
-            for i, text in enumerate(batch):
-                toks = [t for t in (text or "").split(" ") if t]
-                sh = _shingles(toks, shingle_k)
+            th_list = [
+                np.array(
+                    [
+                        hash_token(t)
+                        for t in (text or "").split(" ")
+                        if t
+                    ],
+                    dtype=np.uint64,
+                )
+                for text in batch
+            ]
+            for i, sh in enumerate(_shingles_batch(th_list, shingle_k)):
                 if sh.size == 0:
                     out[i] = [0] * num_hashes
                 else:
